@@ -1,0 +1,160 @@
+"""Blockwise 8-bit quantization (pure-jnp reference tier).
+
+TPU-native re-implementation of the reference blockwise quant ops
+(bitsandbytes/functional.py:613-769; oracle semantics from
+backends/default/ops.py:177-222).  These functions are:
+
+  * the always-available fallback implementation, and
+  * the numerical oracle the Pallas kernels are tested against.
+
+Semantics (SURVEY.md §8.4-8.6):
+  scaled  = clamp(x / clamp(absmax_block, 1e-38), -1, 1)
+  q       = searchsorted(midpoints(code), scaled)     # ties -> lower code
+  dequant = code[q] * absmax_block, cast to dtype
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .codebooks import create_dynamic_map
+from .quant_state import QuantState
+
+__all__ = [
+    "quantize_blockwise",
+    "dequantize_blockwise",
+    "quantize_blockwise_with_code",
+    "dequantize_blockwise_with_code",
+    "blockwise_absmax",
+]
+
+_ABSMAX_EPS = 1e-38  # reference backends/default/ops.py:189
+VALID_BLOCKSIZES = (32, 64, 128, 256, 512, 1024, 2048, 4096)  # ops.cu:36-75
+
+
+def _pad_to_blocks(flat: jax.Array, blocksize: int) -> jax.Array:
+    n = flat.shape[0]
+    rem = n % blocksize
+    if rem:
+        flat = jnp.pad(flat, (0, blocksize - rem))
+    return flat
+
+
+def blockwise_absmax(A: jax.Array, blocksize: int) -> jax.Array:
+    """Per-block max |x| over the row-major flattened input, float32
+    ``[ceil(n/blocksize)]``."""
+    flat = _pad_to_blocks(A.reshape(-1), blocksize).astype(jnp.float32)
+    return jnp.max(jnp.abs(flat.reshape(-1, blocksize)), axis=-1)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def quantize_blockwise_with_code(
+    A: jax.Array, code: jax.Array, blocksize: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Quantize to uint8 codebook indices.  Returns (q[A.shape], absmax)."""
+    flat = A.reshape(-1).astype(jnp.float32)
+    n = flat.shape[0]
+    padded = _pad_to_blocks(flat, blocksize)
+    blocks = padded.reshape(-1, blocksize)
+    absmax = jnp.max(jnp.abs(blocks), axis=-1)
+    scale = 1.0 / jnp.clip(absmax, _ABSMAX_EPS, None)
+    scaled = jnp.clip(blocks * scale[:, None], -1.0, 1.0)
+    # Midpoint bucketize: index = count of midpoints strictly below x, so a
+    # value exactly on a midpoint rounds down (reference kernels.cu:160-219,
+    # backends/default/ops.py:194-195).
+    bounds = (code[:-1] + code[1:]) * 0.5
+    q = jnp.searchsorted(bounds, scaled.reshape(-1), side="left").astype(jnp.uint8)
+    return q[:n].reshape(A.shape), absmax
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def dequantize_blockwise_with_code(
+    A: jax.Array, absmax: jax.Array, code: jax.Array, blocksize: int, dtype
+) -> jax.Array:
+    """Dequantize uint8 codebook indices.  Dequant math stays in float32 and
+    is cast to ``dtype`` at the end (reference default/ops.py:197-216)."""
+    flat = A.reshape(-1)
+    n = flat.shape[0]
+    vals = jnp.take(code, flat.astype(jnp.int32))
+    padded = _pad_to_blocks(vals, blocksize).reshape(-1, blocksize)
+    out = padded * absmax.astype(jnp.float32)[:, None]
+    return out.reshape(-1)[:n].reshape(A.shape).astype(dtype)
+
+
+def quantize_blockwise(
+    A: jax.Array,
+    code: Optional[jax.Array] = None,
+    blocksize: int = 4096,
+    nested: bool = False,
+) -> Tuple[jax.Array, QuantState]:
+    """Blockwise 8-bit quantization with the dynamic codebook by default.
+
+    Mirrors reference `quantize_blockwise` (functional.py:613-695) including
+    nested (double) quantization of the absmax at blocksize 256 with mean
+    offset.
+    """
+    if blocksize not in VALID_BLOCKSIZES:
+        raise ValueError(f"blocksize {blocksize} not in {VALID_BLOCKSIZES}")
+    if code is None:
+        code = jnp.asarray(create_dynamic_map())
+    q, absmax = quantize_blockwise_with_code(A, code, blocksize)
+    if nested:
+        offset = jnp.mean(absmax)
+        code2 = jnp.asarray(create_dynamic_map())
+        q_absmax, absmax2 = quantize_blockwise_with_code(absmax - offset, code2, 256)
+        state2 = QuantState(
+            absmax=absmax2,
+            code=code2,
+            blocksize=256,
+            quant_type="8bit",
+            dtype=jnp.float32,
+            shape=absmax.shape,
+        )
+        state = QuantState(
+            absmax=q_absmax,
+            code=code,
+            blocksize=blocksize,
+            quant_type="8bit",
+            dtype=A.dtype,
+            shape=A.shape,
+            offset=offset,
+            state2=state2,
+        )
+    else:
+        state = QuantState(
+            absmax=absmax,
+            code=code,
+            blocksize=blocksize,
+            quant_type="8bit",
+            dtype=A.dtype,
+            shape=A.shape,
+        )
+    return q, state
+
+
+def dequantize_blockwise(
+    A: jax.Array,
+    quant_state: Optional[QuantState] = None,
+    absmax: Optional[jax.Array] = None,
+    code: Optional[jax.Array] = None,
+    blocksize: int = 4096,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Inverse of :func:`quantize_blockwise` (reference functional.py:698-769)."""
+    if quant_state is not None:
+        absmax = quant_state.dequant_absmax()
+        code = quant_state.code
+        blocksize = quant_state.blocksize
+        dtype = quant_state.dtype
+    if code is None:
+        code = jnp.asarray(create_dynamic_map())
+    if absmax is None:
+        raise ValueError("either quant_state or absmax must be provided")
+    out = dequantize_blockwise_with_code(A, absmax, code, blocksize, dtype)
+    if quant_state is not None:
+        out = out.reshape(quant_state.shape)
+    return out

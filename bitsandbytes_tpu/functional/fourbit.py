@@ -1,0 +1,210 @@
+"""4-bit blockwise quantization: NF4 / FP4 / int4 / af4 (pure-jnp tier).
+
+TPU-native re-implementation of the reference 4-bit ops
+(bitsandbytes/functional.py:884-1077; oracle semantics from
+backends/default/ops.py:225-300).
+
+Packing convention (must match the reference for checkpoint interop,
+SURVEY.md §8.3): the row-major flattened tensor is quantized to 4-bit codes,
+then adjacent pairs are packed high-nibble-first:
+
+    packed[j] = (q[2j] << 4) | q[2j+1]
+
+Canonical packed shape is ``[(n+1)//2, 1]`` uint8 (kernels view it as
+``[N, K//2]`` when the last dim is even — a free row-major reshape).
+
+For FP4/int4/af4 the codebook is in *bit-pattern* order, so quantization
+bucketizes against the sorted code's midpoints and then maps rank -> bit
+pattern via argsort (reference default/ops.py:225-254).
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .blockwise import _ABSMAX_EPS, quantize_blockwise, dequantize_blockwise_with_code
+from .codebooks import get_4bit_code
+from .quant_state import QuantState
+
+__all__ = [
+    "quantize_4bit",
+    "dequantize_4bit",
+    "pack_4bit",
+    "unpack_4bit",
+    "QUANT_STORAGE_BITS",
+]
+
+VALID_4BIT_BLOCKSIZES = (32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+QUANT_STORAGE_BITS = {
+    jnp.dtype(jnp.uint8): 8,
+    jnp.dtype(jnp.int8): 8,
+    jnp.dtype(jnp.uint16): 16,
+    jnp.dtype(jnp.uint32): 32,
+}
+
+# Float storage dtypes (the reference uses them so FSDP can flat-shard packed
+# weights, nn/modules.py:545) map to same-width unsigned ints here: XLA may
+# canonicalize NaN bit patterns in float arrays, which would corrupt packed
+# payloads, and JAX sharding works on integer dtypes directly.
+_STORAGE_ALIAS = {
+    jnp.dtype(jnp.float16): jnp.dtype(jnp.uint16),
+    jnp.dtype(jnp.bfloat16): jnp.dtype(jnp.uint16),
+    jnp.dtype(jnp.float32): jnp.dtype(jnp.uint32),
+}
+
+
+def _storage_dtype(quant_storage) -> jnp.dtype:
+    d = jnp.dtype(quant_storage)
+    d = _STORAGE_ALIAS.get(d, d)
+    if d not in QUANT_STORAGE_BITS:
+        raise ValueError(f"unsupported quant_storage {quant_storage}")
+    return d
+
+
+@functools.lru_cache(maxsize=None)
+def _quantize_tables(quant_type: str, blocksize: int):
+    """(midpoints of sorted code, rank->bit-pattern order map)."""
+    code = get_4bit_code(quant_type, blocksize)
+    order = np.argsort(code, kind="stable")
+    sorted_code = code[order]
+    midpoints = (sorted_code[:-1] + sorted_code[1:]) * 0.5
+    return jnp.asarray(midpoints), jnp.asarray(order.astype(np.int32))
+
+
+def pack_4bit(q: jax.Array) -> jax.Array:
+    """Pack flat uint8 4-bit codes (even length) pairwise, high nibble first."""
+    q = q.reshape(-1, 2).astype(jnp.uint8)
+    return ((q[:, 0] << 4) | q[:, 1]).astype(jnp.uint8)
+
+
+def unpack_4bit(packed: jax.Array) -> jax.Array:
+    """Unpack uint8 bytes into flat 4-bit codes: out[2j]=hi, out[2j+1]=lo."""
+    flat = packed.reshape(-1)
+    hi = (flat >> 4).astype(jnp.uint8)
+    lo = (flat & 0xF).astype(jnp.uint8)
+    return jnp.stack([hi, lo], axis=-1).reshape(-1)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _quantize_4bit_impl(A, midpoints, order, blocksize, quant_type):
+    flat = A.reshape(-1).astype(jnp.float32)
+    n = flat.shape[0]
+    rem = n % blocksize
+    if rem:
+        flat = jnp.pad(flat, (0, blocksize - rem))
+    blocks = flat.reshape(-1, blocksize)
+    absmax = jnp.max(jnp.abs(blocks), axis=-1)
+    scale = 1.0 / jnp.clip(absmax, _ABSMAX_EPS, None)
+    scaled = jnp.clip(blocks * scale[:, None], -1.0, 1.0).reshape(-1)
+    # Keep only the real elements, then pad to even length for pairing
+    scaled = scaled[:n]
+    if n % 2:
+        scaled = jnp.pad(scaled, (0, 1))
+    rank = jnp.searchsorted(midpoints, scaled, side="left")
+    if quant_type != "nf4":  # nf4 code is sorted: rank == bit pattern
+        rank = jnp.take(order, rank)
+    packed = pack_4bit(rank.astype(jnp.uint8))
+    return packed.reshape(-1, 1), absmax
+
+
+def quantize_4bit(
+    A: jax.Array,
+    blocksize: int = 64,
+    quant_type: str = "nf4",
+    compress_statistics: bool = False,
+    quant_storage=jnp.uint8,
+) -> Tuple[jax.Array, QuantState]:
+    """Quantize to a packed 4-bit representation.
+
+    Returns ``(packed [(n+1)//2, 1], QuantState)``.  With
+    ``compress_statistics`` the float32 absmax is itself blockwise-quantized
+    (dynamic 8-bit code, blocksize 256) around its mean offset — reference
+    functional.py:938-951.
+    """
+    if blocksize not in VALID_4BIT_BLOCKSIZES:
+        raise ValueError(f"blocksize {blocksize} not in {VALID_4BIT_BLOCKSIZES}")
+    midpoints, order = _quantize_tables(quant_type, blocksize)
+    packed, absmax = _quantize_4bit_impl(A, midpoints, order, blocksize, quant_type)
+    code = jnp.asarray(get_4bit_code(quant_type, blocksize))
+
+    if compress_statistics:
+        offset = jnp.mean(absmax)
+        q_absmax, state2 = quantize_blockwise(absmax - offset, blocksize=256)
+        state2 = QuantState(
+            absmax=state2.absmax,
+            code=state2.code,
+            blocksize=256,
+            quant_type="8bit",
+            dtype=jnp.float32,
+            shape=absmax.shape,
+        )
+        state = QuantState(
+            absmax=q_absmax,
+            code=code,
+            blocksize=blocksize,
+            quant_type=quant_type,
+            dtype=A.dtype,
+            shape=A.shape,
+            offset=offset,
+            state2=state2,
+        )
+    else:
+        state = QuantState(
+            absmax=absmax,
+            code=code,
+            blocksize=blocksize,
+            quant_type=quant_type,
+            dtype=A.dtype,
+            shape=A.shape,
+        )
+
+    storage = _storage_dtype(quant_storage)
+    if storage != jnp.dtype(jnp.uint8):
+        elems = QUANT_STORAGE_BITS[storage] // 8
+        packed = jax.lax.bitcast_convert_type(
+            packed.reshape(-1, elems), storage
+        ).reshape(-1, 1)
+    return packed, state
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _dequantize_4bit_impl(packed_u8, absmax, code, blocksize, shape, dtype):
+    n = int(np.prod(shape))
+    codes = unpack_4bit(packed_u8)[:n]
+    vals = jnp.take(code, codes.astype(jnp.int32))
+    rem = n % blocksize
+    if rem:
+        vals = jnp.pad(vals, (0, blocksize - rem))
+    out = (vals.reshape(-1, blocksize) * absmax.astype(jnp.float32)[:, None]).reshape(-1)
+    return out[:n].reshape(shape).astype(dtype)
+
+
+def dequantize_4bit(
+    A: jax.Array,
+    quant_state: Optional[QuantState] = None,
+    absmax: Optional[jax.Array] = None,
+    blocksize: int = 64,
+    quant_type: str = "nf4",
+    shape: Optional[tuple] = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Dequantize a packed 4-bit tensor (reference functional.py:990-1077)."""
+    if quant_state is not None:
+        absmax = quant_state.dequant_absmax()
+        blocksize = quant_state.blocksize
+        quant_type = quant_state.quant_type
+        shape = quant_state.shape
+        dtype = quant_state.dtype
+    if shape is None or absmax is None:
+        raise ValueError("either quant_state or (absmax, shape) must be provided")
+    if A.dtype != jnp.uint8:
+        A = jax.lax.bitcast_convert_type(A.reshape(-1), jnp.uint8)
+    code = jnp.asarray(get_4bit_code(quant_type, blocksize))
+    return _dequantize_4bit_impl(A.reshape(-1), absmax, code, blocksize, tuple(shape), dtype)

@@ -1,0 +1,77 @@
+"""4-bit matmul entry points: gemm_4bit / gemv_4bit.
+
+Dispatch layer replacing the reference's gemm_4bit CUDA dispatch
+(backends/cuda/ops.py:583-969): on TPU, routes to the fused Pallas
+dequant+matmul kernel when shapes allow, otherwise falls back to
+XLA dequantize + `jnp.dot` (the reference's `_dequant_linear_fallback`,
+backends/cuda/ops.py:891-903).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import dispatch
+from .fourbit import dequantize_4bit
+from .quant_state import QuantState
+
+__all__ = ["gemm_4bit", "gemv_4bit"]
+
+
+def _dequant_matmul_fallback(A, B_packed, state: QuantState, bias):
+    W = dequantize_4bit(B_packed, quant_state=state).astype(A.dtype)
+    out = jnp.dot(A, W.T, preferred_element_type=jnp.float32).astype(A.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def gemm_4bit(
+    A: jax.Array,
+    B_packed: jax.Array,
+    quant_state: QuantState,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """``out = A @ dequant(B)^T (+ bias)`` with B 4-bit blockwise quantized.
+
+    Equivalent of torch.ops.bitsandbytes.gemm_4bit (reference _ops.py:
+    239-295).  Nested (double-quantized) absmax is resolved before the
+    kernel; the packed payload is streamed and dequantized on-chip.
+    """
+    N, K = quant_state.shape[-2], quant_state.shape[-1]
+    lead = A.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+
+    if dispatch.use_pallas():
+        from ..ops.pallas.gemm4bit import fused_gemm_supported, gemm_4bit_fused
+
+        if fused_gemm_supported(M, N, K, quant_state.blocksize):
+            absmax = quant_state.dequant_absmax()
+            out = gemm_4bit_fused(
+                A,
+                B_packed,
+                absmax,
+                code=np.asarray(quant_state.code),
+                blocksize=quant_state.blocksize,
+                shapeB=(N, K),
+            )
+            if bias is not None:
+                out = out + bias
+            return out
+    return _dequant_matmul_fallback(A, B_packed, quant_state, bias)
+
+
+def gemv_4bit(
+    A: jax.Array,
+    B_packed: jax.Array,
+    quant_state: QuantState,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Decode-path (small M) alias of :func:`gemm_4bit` (reference
+    functional.py:1300-1334).  On TPU the same fused kernel serves both; only
+    the tile selection differs."""
+    return gemm_4bit(A, B_packed, quant_state, bias)

@@ -1,0 +1,310 @@
+"""Functional optimizer update rules (32-bit and 8-bit blockwise state).
+
+TPU-native re-implementation of the reference optimizer kernels:
+  * 32-bit: csrc/kernels.cu:531-913 (oracle: backends/default/ops.py:368-633)
+  * 8-bit blockwise: csrc/kernels.cu:914-1330 (oracle:
+    backends/cpu/ops.py:469-580) — states stored as uint8 codes against a
+    quantile codebook with per-256-element-block absmax; each step dequants,
+    updates in fp32, and requants.
+
+Unlike the reference these are *pure functions* returning new (param, state)
+values — the natural JAX formulation; optax-style wrappers in
+`bitsandbytes_tpu.optim` build stateful optimizers on top.
+
+Supported optimizer names (reference default/ops.py:356-365):
+  adam, lamb (adam rule), momentum, lars (momentum rule), rmsprop, adagrad,
+  lion, ademamix.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .blockwise import dequantize_blockwise_with_code, quantize_blockwise_with_code
+
+__all__ = [
+    "optimizer_update_32bit",
+    "optimizer_update_8bit_blockwise",
+    "OPTIMIZER_NAMES",
+    "BLOCKSIZE_8BIT_STATE",
+]
+
+OPTIMIZER_NAMES = ("adam", "lamb", "momentum", "lars", "rmsprop", "adagrad", "lion", "ademamix")
+_TWO_STATE = ("adam", "lamb", "ademamix")
+BLOCKSIZE_8BIT_STATE = 256  # reference ops.cu:154-157
+
+
+def _core_update(
+    optimizer_name: str,
+    g: jax.Array,
+    p: jax.Array,
+    s1: jax.Array,
+    s2: Optional[jax.Array],
+    *,
+    beta1,
+    beta2,
+    beta3,
+    alpha,
+    eps,
+    weight_decay,
+    step,
+    lr,
+    update_scale,
+):
+    """Shared fp32 update math.  Returns (new_p, new_s1, new_s2)."""
+    step_f = jnp.asarray(step, jnp.float32)
+    new_s2 = None
+
+    if optimizer_name in ("adam", "lamb"):
+        new_s1 = s1 * beta1 + (1.0 - beta1) * g
+        new_s2 = s2 * beta2 + (1.0 - beta2) * g * g
+        correction1 = 1.0 - beta1**step_f
+        correction2 = jnp.sqrt(1.0 - beta2**step_f)
+        step_size = -lr * correction2 / correction1
+        if weight_decay > 0.0:
+            p = p * (1.0 - lr * weight_decay)
+        # Same grouping as kernels.cu:932-934: eps is scaled by correction2.
+        new_p = p + update_scale * step_size * (new_s1 / (jnp.sqrt(new_s2) + eps * correction2))
+
+    elif optimizer_name == "ademamix":
+        m1, m2 = s1[0], s1[1]
+        new_m1 = m1 * beta1 + (1.0 - beta1) * g
+        new_m2 = m2 * beta3 + (1.0 - beta3) * g
+        new_s2 = s2 * beta2 + (1.0 - beta2) * g * g
+        correction1 = 1.0 - beta1**step_f
+        correction2 = jnp.sqrt(1.0 - beta2**step_f)
+        if weight_decay > 0.0:
+            p = p * (1.0 - lr * weight_decay)
+        mixed = new_m1 / correction1 + alpha * new_m2
+        adaptive = jnp.sqrt(new_s2) / correction2 + eps
+        new_p = p - lr * (mixed / adaptive)
+        new_s1 = jnp.stack([new_m1, new_m2])
+
+    elif optimizer_name in ("momentum", "lars"):
+        g = g + p * weight_decay
+        new_s1 = jnp.where(step_f == 1.0, g, s1 * beta1 + g)
+        new_p = p + update_scale * (-lr * new_s1)
+
+    elif optimizer_name == "lion":
+        if weight_decay > 0.0:
+            p = p * (1.0 - lr * weight_decay)
+        update_dir = jnp.sign(s1 * beta1 + (1.0 - beta1) * g)
+        new_p = p - update_scale * lr * update_dir
+        new_s1 = s1 * beta2 + (1.0 - beta2) * g
+
+    elif optimizer_name == "rmsprop":
+        g = g + p * weight_decay
+        new_s1 = s1 * beta1 + (1.0 - beta1) * g * g
+        new_p = p - update_scale * lr * g / (jnp.sqrt(new_s1) + eps)
+
+    elif optimizer_name == "adagrad":
+        g = g + p * weight_decay
+        new_s1 = s1 + g * g
+        new_p = p - lr * g / (jnp.sqrt(new_s1) + eps)
+
+    else:
+        raise ValueError(f"unsupported optimizer {optimizer_name!r}")
+
+    return new_p, new_s1, new_s2
+
+
+def _update_norm(optimizer_name, g, s1, s2, *, beta1, beta2, eps, step):
+    """Precondition pass: squared update norm (reference default/ops.py:
+    370-424).  For Lion this is evaluated on the *post-update* state."""
+    step_f = jnp.asarray(step, jnp.float32)
+    if optimizer_name in ("adam", "lamb"):
+        c1 = 1.0 / (1.0 - beta1**step_f)
+        c2 = 1.0 / (1.0 - beta2**step_f)
+        s1n = (s1 * beta1 + (1.0 - beta1) * g) * c1
+        s2n = (s2 * beta2 + (1.0 - beta2) * g * g) * c2
+        upd = s1n / (jnp.sqrt(s2n) + eps)
+        return jnp.sum(upd * upd)
+    if optimizer_name == "ademamix":
+        return jnp.sum(s1)
+    if optimizer_name in ("momentum", "lars"):
+        s1n = jnp.where(step_f == 1.0, g, s1 * beta1 + g)
+        return jnp.sum(s1n * s1n)
+    if optimizer_name == "lion":
+        s1n = s1 * beta2 + (1.0 - beta2) * g
+        return jnp.sum(s1n)
+    if optimizer_name == "rmsprop":
+        s1n = s1 * beta1 + (1.0 - beta1) * g * g
+        upd = g / (jnp.sqrt(s1n) + eps)
+        return jnp.sum(upd * upd)
+    if optimizer_name == "adagrad":
+        s1n = s1 + g * g
+        upd = g / (jnp.sqrt(s1n) + eps)
+        return jnp.sum(upd * upd)
+    raise ValueError(optimizer_name)
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("weight_decay", "max_unorm"),
+)
+def optimizer_update_32bit(
+    optimizer_name: str,
+    g: jax.Array,
+    p: jax.Array,
+    state1: jax.Array,
+    state2: Optional[jax.Array] = None,
+    *,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    beta3: float = 0.0,
+    alpha: float = 0.0,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    step,
+    lr,
+    gnorm_scale: float = 1.0,
+    max_unorm: float = 0.0,
+    param_norm=0.0,
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """32-bit optimizer step with fp32 master math on any param dtype.
+
+    Returns ``(new_p, new_state1, new_state2)``.  `max_unorm > 0` clips the
+    update norm relative to the param norm (reference ops.cu:107-113; the
+    Lion variant evaluates the norm on the updated state, ops.cu:136-149,
+    which for a pure function means the clip uses the *previous* step's
+    semantics — we follow the non-Lion ordering for all, and Lion's norm on
+    its updated state).
+    """
+    p_dtype = p.dtype
+    g_f = g.astype(jnp.float32) * gnorm_scale
+    p_f = p.astype(jnp.float32)
+    s1 = state1.astype(jnp.float32)
+    s2 = state2.astype(jnp.float32) if state2 is not None else None
+
+    update_scale = jnp.float32(1.0)
+    if max_unorm > 0.0:
+        unorm2 = _update_norm(optimizer_name, g_f, s1, s2, beta1=beta1, beta2=beta2, eps=eps, step=step)
+        current = jnp.sqrt(unorm2)
+        if optimizer_name in ("momentum", "lars", "rmsprop", "adagrad", "lion"):
+            limit = max_unorm * param_norm + eps
+        else:
+            limit = max_unorm * param_norm
+        update_scale = jnp.where(current > limit, limit / current, 1.0).astype(jnp.float32)
+
+    new_p, new_s1, new_s2 = _core_update(
+        optimizer_name,
+        g_f,
+        p_f,
+        s1,
+        s2,
+        beta1=beta1,
+        beta2=beta2,
+        beta3=beta3,
+        alpha=alpha,
+        eps=eps,
+        weight_decay=weight_decay,
+        step=step,
+        lr=lr,
+        update_scale=update_scale,
+    )
+    new_p = new_p.astype(p_dtype)
+    new_s1 = new_s1.astype(state1.dtype)
+    if new_s2 is not None and state2 is not None:
+        new_s2 = new_s2.astype(state2.dtype)
+    return new_p, new_s1, new_s2
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("weight_decay",),
+)
+def optimizer_update_8bit_blockwise(
+    optimizer_name: str,
+    g: jax.Array,
+    p: jax.Array,
+    state1: jax.Array,
+    state2: Optional[jax.Array],
+    qmap1: jax.Array,
+    qmap2: Optional[jax.Array],
+    absmax1: jax.Array,
+    absmax2: Optional[jax.Array],
+    *,
+    beta1: float,
+    beta2: float,
+    beta3: float = 0.0,
+    alpha: float = 0.0,
+    eps: float,
+    weight_decay: float = 0.0,
+    step,
+    lr,
+    gnorm_scale: float = 1.0,
+):
+    """8-bit blockwise optimizer step.
+
+    States are uint8 codes against ``qmap`` codebooks with per-256-element
+    block float32 absmax.  Dequant -> fp32 update -> requant, matching the
+    fused CUDA kernel's semantics (kernels.cu:914-1330; oracle
+    cpu/ops.py:469-580).  NaN/Inf gradient elements skip the state update
+    (their states decay to the quantized value of the un-updated state;
+    kernels.cu:1017,1034-1041 zeroes them — we follow the CUDA kernel and
+    zero the states for non-finite gradients).
+
+    Returns ``(new_p, new_state1, new_state2, new_absmax1, new_absmax2)``.
+    """
+    bs = BLOCKSIZE_8BIT_STATE
+    p_dtype = p.dtype
+
+    if optimizer_name == "ademamix":
+        s1_1 = dequantize_blockwise_with_code(state1[0], absmax1[0], qmap1, bs, jnp.float32)
+        s1_2 = dequantize_blockwise_with_code(state1[1], absmax1[1], qmap1, bs, jnp.float32)
+        s1 = jnp.stack([s1_1, s1_2])
+    else:
+        s1 = dequantize_blockwise_with_code(state1, absmax1, qmap1, bs, jnp.float32)
+    s2 = None
+    if state2 is not None:
+        s2 = dequantize_blockwise_with_code(state2, absmax2, qmap2, bs, jnp.float32)
+
+    g_f = g.astype(jnp.float32) * gnorm_scale
+    p_f = p.astype(jnp.float32)
+
+    new_p, new_s1, new_s2 = _core_update(
+        optimizer_name,
+        g_f,
+        p_f,
+        s1,
+        s2,
+        beta1=beta1,
+        beta2=beta2,
+        beta3=beta3,
+        alpha=alpha,
+        eps=eps,
+        weight_decay=weight_decay,
+        step=step,
+        lr=lr,
+        update_scale=jnp.float32(1.0),
+    )
+
+    # CUDA kernel semantics: elements with non-finite gradients keep the
+    # param and zero their state contribution (kernels.cu:1017,1034-1041).
+    finite = jnp.isfinite(g_f)
+    new_p = jnp.where(finite, new_p, p_f)
+    if optimizer_name == "ademamix":
+        new_s1 = jnp.where(finite[None], new_s1, 0.0)
+    else:
+        new_s1 = jnp.where(finite, new_s1, 0.0)
+    if new_s2 is not None:
+        new_s2 = jnp.where(finite, new_s2, 0.0)
+
+    if optimizer_name == "ademamix":
+        q1_1, am1_1 = quantize_blockwise_with_code(new_s1[0], qmap1, bs)
+        q1_2, am1_2 = quantize_blockwise_with_code(new_s1[1], qmap1, bs)
+        new_state1 = jnp.stack([q1_1, q1_2])
+        new_absmax1 = jnp.stack([am1_1, am1_2])
+    else:
+        new_state1, new_absmax1 = quantize_blockwise_with_code(new_s1, qmap1, bs)
+    new_state2 = new_absmax2 = None
+    if new_s2 is not None:
+        new_state2, new_absmax2 = quantize_blockwise_with_code(new_s2, qmap2, bs)
+
+    return new_p.astype(p_dtype), new_state1, new_state2, new_absmax1, new_absmax2

@@ -1,0 +1,196 @@
+"""QuantState: the pytree container describing quantized tensors.
+
+TPU-native analog of the reference `QuantState` (bitsandbytes/functional.py:
+420-610).  Registered as a JAX pytree so quantized weights flow through
+`jit` / `pjit` / `shard_map` / optax transparently: array leaves (absmax,
+code, nested stats) are traced/sharded, while blocksize/quant_type/shape/
+dtype are static aux data baked into the compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .codebooks import get_4bit_code
+
+__all__ = ["QuantState"]
+
+_VALID_QUANT_TYPES = ("nf4", "fp4", "int4", "af4", "8bit")
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantState:
+    """Quantization metadata for a blockwise-quantized tensor.
+
+    Attributes:
+      absmax: per-block scale.  float32 ``[nblocks]`` when not nested, or
+        uint8 codes of the same shape when ``nested`` (double quantization).
+      code: the codebook used for the payload (16 entries for 4-bit types,
+        256 for 8-bit), float32.
+      blocksize: quantization block size (static).
+      quant_type: one of nf4/fp4/int4/af4/8bit (static).
+      dtype: the original (dequantized) dtype (static).
+      shape: the original tensor shape (static).
+      offset: scalar mean of absmax (float32) when nested, else None.
+      state2: a ``QuantState`` describing the quantized absmax when nested
+        (code=dynamic 8-bit map, blocksize=256), else None.
+
+    Mirrors reference functional.py:420-610 including the packed dict
+    (de)serialization format used for checkpoint interop.
+    """
+
+    absmax: jax.Array
+    code: jax.Array
+    blocksize: int
+    quant_type: str
+    dtype: Any
+    shape: tuple
+    offset: Optional[jax.Array] = None
+    state2: Optional["QuantState"] = None
+
+    # -- pytree protocol -----------------------------------------------------
+    def tree_flatten(self):
+        children = (self.absmax, self.code, self.offset, self.state2)
+        aux = (self.blocksize, self.quant_type, self.dtype, tuple(self.shape))
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        absmax, code, offset, state2 = children
+        blocksize, quant_type, dtype, shape = aux
+        return cls(
+            absmax=absmax,
+            code=code,
+            blocksize=blocksize,
+            quant_type=quant_type,
+            dtype=dtype,
+            shape=shape,
+            offset=offset,
+            state2=state2,
+        )
+
+    @property
+    def nested(self) -> bool:
+        return self.state2 is not None
+
+    @property
+    def n(self) -> int:
+        return int(np.prod(self.shape))
+
+    def dequant_absmax(self) -> jax.Array:
+        """Recover float32 per-block absmax (resolving double quantization).
+
+        Reconstruction matches reference backends/default/ops.py:335-340:
+        ``absmax = code2[absmax_8bit] * absmax2 + offset``.
+        """
+        if not self.nested:
+            return self.absmax
+        from .blockwise import dequantize_blockwise_with_code
+
+        absmax = dequantize_blockwise_with_code(
+            self.absmax,
+            self.state2.absmax,
+            self.state2.code,
+            self.state2.blocksize,
+            jnp.float32,
+        )
+        return absmax + self.offset
+
+    # -- serialization (reference functional.py:493-578; utils.py:166-197) ---
+    def as_dict(self, packed: bool = False) -> dict:
+        """Serialize to a dict of arrays + metadata for checkpointing.
+
+        With ``packed=True``, non-array metadata is JSON-encoded into a uint8
+        array under ``quant_state.bitsandbytes__{quant_type}`` — the same
+        safetensors-compatible convention the reference uses so checkpoints
+        interoperate.
+        """
+        qs_dict = {
+            "quant_type": self.quant_type,
+            "blocksize": self.blocksize,
+            "dtype": jnp.dtype(self.dtype).name,
+            "shape": tuple(int(s) for s in self.shape),
+        }
+        tensors = {"absmax": np.asarray(self.absmax), "quant_map": np.asarray(self.code)}
+        if self.nested:
+            qs_dict.update(
+                {
+                    "nested_blocksize": self.state2.blocksize,
+                    "nested_dtype": jnp.dtype(self.state2.dtype).name,
+                    "nested_offset": float(np.asarray(self.offset)),
+                }
+            )
+            tensors["nested_absmax"] = np.asarray(self.state2.absmax)
+            tensors["nested_quant_map"] = np.asarray(self.state2.code)
+        if not packed:
+            return {**qs_dict, **tensors}
+        meta = json.dumps(qs_dict, sort_keys=True).encode("utf8")
+        packed_meta = np.frombuffer(meta, dtype=np.uint8).copy()
+        return {**tensors, f"quant_state.bitsandbytes__{self.quant_type}": packed_meta}
+
+    @classmethod
+    def from_dict(cls, qs_dict: dict) -> "QuantState":
+        """Reconstruct a QuantState from :meth:`as_dict` output (packed or
+        unpacked)."""
+        qs_dict = dict(qs_dict)
+        meta_key = next((k for k in qs_dict if k.startswith("quant_state.bitsandbytes__")), None)
+        if meta_key is not None:
+            meta_bytes = np.asarray(qs_dict.pop(meta_key), dtype=np.uint8).tobytes()
+            qs_dict.update(json.loads(meta_bytes.decode("utf8")))
+        quant_type = qs_dict["quant_type"]
+        if quant_type not in _VALID_QUANT_TYPES:
+            raise ValueError(f"invalid quant_type {quant_type!r}")
+        absmax = jnp.asarray(qs_dict["absmax"])
+        code = jnp.asarray(qs_dict["quant_map"])
+        offset = None
+        state2 = None
+        if "nested_absmax" in qs_dict:
+            offset = jnp.asarray(qs_dict["nested_offset"], dtype=jnp.float32)
+            state2 = cls(
+                absmax=jnp.asarray(qs_dict["nested_absmax"]),
+                code=jnp.asarray(qs_dict["nested_quant_map"]),
+                blocksize=int(qs_dict["nested_blocksize"]),
+                quant_type="8bit",
+                dtype=jnp.dtype(qs_dict["nested_dtype"]),
+                shape=(int(np.prod(np.asarray(qs_dict["absmax"]).shape)),),
+            )
+        return cls(
+            absmax=absmax,
+            code=code,
+            blocksize=int(qs_dict["blocksize"]),
+            quant_type=quant_type,
+            dtype=jnp.dtype(qs_dict["dtype"]),
+            shape=tuple(qs_dict["shape"]),
+            offset=offset,
+            state2=state2,
+        )
+
+    @classmethod
+    def make(
+        cls,
+        absmax: jax.Array,
+        shape: tuple,
+        quant_type: str,
+        blocksize: int,
+        dtype,
+        offset: Optional[jax.Array] = None,
+        state2: Optional["QuantState"] = None,
+    ) -> "QuantState":
+        code = jnp.asarray(get_4bit_code(quant_type, blocksize)) if quant_type != "8bit" else None
+        return cls(
+            absmax=absmax,
+            code=code,
+            blocksize=blocksize,
+            quant_type=quant_type,
+            dtype=dtype,
+            shape=tuple(shape),
+            offset=offset,
+            state2=state2,
+        )

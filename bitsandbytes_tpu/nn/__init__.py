@@ -1,0 +1,37 @@
+"""Flax linen modules over quantized weights (the L5 layer of SURVEY.md §1)."""
+
+from .modules import (
+    Embedding4bit,
+    Embedding8bit,
+    EmbeddingFP4,
+    EmbeddingNF4,
+    Linear4bit,
+    Linear8bitLt,
+    LinearFP4,
+    LinearNF4,
+    StableEmbedding,
+    QuantizedTensor,
+    Int8TensorState,
+)
+from .parametrize import (
+    dequantize_tree,
+    quantize_tree,
+    mask_quantized,
+)
+
+__all__ = [
+    "Linear4bit",
+    "LinearFP4",
+    "LinearNF4",
+    "Linear8bitLt",
+    "Embedding4bit",
+    "EmbeddingFP4",
+    "EmbeddingNF4",
+    "Embedding8bit",
+    "StableEmbedding",
+    "QuantizedTensor",
+    "Int8TensorState",
+    "quantize_tree",
+    "dequantize_tree",
+    "mask_quantized",
+]

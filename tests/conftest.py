@@ -1,0 +1,44 @@
+"""Test configuration.
+
+By default tests run on CPU with 8 virtual devices so sharding logic is
+exercised without TPU hardware (the SURVEY.md §4 strategy).  Set
+``BNB_TEST_DEVICE=tpu`` to run the same suite against real TPU chips
+(mirrors the reference's BNB_TEST_DEVICE, tests/helpers.py:22-25).
+"""
+
+import os
+
+if os.environ.get("BNB_TEST_DEVICE", "cpu") == "cpu":
+    # jax may be pre-imported (sitecustomize) with a TPU platform; switching
+    # via jax.config still works as long as no backend was initialized.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def seed_rng():
+    np.random.seed(0)
+    yield
+
+
+def pytest_collection_modifyitems(config, items):
+    import jax
+
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    skip_tpu = pytest.mark.skip(reason="requires TPU hardware")
+    for item in items:
+        if "tpu_only" in item.keywords and not on_tpu:
+            item.add_marker(skip_tpu)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu_only: test requires real TPU hardware")
+    config.addinivalue_line("markers", "slow: long-running test")

@@ -1,0 +1,231 @@
+"""Quantize/dequantize roundtrip + int8 op tests.
+
+Mirrors the reference test strategy (tests/test_functional.py): statistical
+error thresholds per format, roundtrip idempotence, exactness cases.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bitsandbytes_tpu.functional as F
+
+
+@pytest.mark.parametrize("blocksize", [64, 256, 4096])
+@pytest.mark.parametrize("nested", [False, True])
+def test_blockwise_8bit_roundtrip(blocksize, nested):
+    x = jnp.asarray(np.random.randn(31, 257).astype(np.float32))
+    q, state = F.quantize_blockwise(x, blocksize=blocksize, nested=nested)
+    assert q.shape == x.shape and q.dtype == jnp.uint8
+    out = F.dequantize_blockwise(q, state)
+    err = jnp.abs(out - x).mean()
+    # dynamic 8-bit: ~2 decimal digits relative precision (reference
+    # test_functional.py dynamic quant thresholds ~0.0135 absolute on N(0,1))
+    assert err < 0.02 if not nested else err < 0.025
+    # idempotence: quantizing the dequantized value returns the same codes
+    q2, _ = F.quantize_blockwise(out, blocksize=blocksize, nested=nested)
+    assert (np.asarray(q2) == np.asarray(q)).mean() > 0.999
+
+
+def test_blockwise_exact_codepoints():
+    code = jnp.asarray(F.create_dynamic_map())
+    # values exactly on codebook entries times absmax quantize losslessly
+    absmax = 3.7
+    x = code[None, :] * absmax
+    q, state = F.quantize_blockwise(x, blocksize=256)
+    out = F.dequantize_blockwise(q, state)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("quant_type", ["nf4", "fp4"])
+@pytest.mark.parametrize("blocksize", [64, 128])
+@pytest.mark.parametrize("compress_statistics", [False, True])
+def test_4bit_roundtrip(quant_type, blocksize, compress_statistics):
+    W = jnp.asarray(np.random.randn(128, 256).astype(np.float32))
+    packed, state = F.quantize_4bit(
+        W, blocksize=blocksize, quant_type=quant_type, compress_statistics=compress_statistics
+    )
+    assert packed.shape == (W.size // 2, 1) and packed.dtype == jnp.uint8
+    out = F.dequantize_4bit(packed, quant_state=state)
+    assert out.shape == W.shape
+    err = jnp.abs(out - W).mean()
+    # reference thresholds: nf4 ~0.07-0.1 abs error on N(0,1) data
+    limit = {"nf4": 0.12, "fp4": 0.16}[quant_type]
+    assert err < limit, err
+    # roundtrip stability
+    packed2, state2 = F.quantize_4bit(out, blocksize=blocksize, quant_type=quant_type)
+    assert (np.asarray(packed2) == np.asarray(packed)).mean() > 0.99
+
+
+def test_4bit_codepoint_exact():
+    code = jnp.asarray(F.get_4bit_code("nf4"))
+    x = jnp.tile(code, (4, 4))  # 4x64: each row = 4 blocks of the exact codebook
+    packed, state = F.quantize_4bit(x, blocksize=64, quant_type="nf4")
+    out = F.dequantize_4bit(packed, quant_state=state)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-6, atol=1e-7)
+
+
+def test_4bit_odd_sizes():
+    x = jnp.asarray(np.random.randn(7, 9).astype(np.float32))  # 63 elements
+    packed, state = F.quantize_4bit(x, blocksize=64)
+    assert packed.shape == ((63 + 1) // 2, 1)
+    out = F.dequantize_4bit(packed, quant_state=state)
+    assert out.shape == x.shape
+    assert jnp.abs(out - x).mean() < 0.15
+
+
+def test_4bit_pack_order():
+    """High nibble first: packed = (q[2j] << 4) | q[2j+1] (kernels.cu:357)."""
+    q = jnp.asarray([1, 2, 3, 4], dtype=jnp.uint8)
+    packed = F.pack_4bit(q)
+    np.testing.assert_array_equal(np.asarray(packed), [0x12, 0x34])
+    np.testing.assert_array_equal(np.asarray(F.unpack_4bit(packed)), [1, 2, 3, 4])
+
+
+def test_4bit_quant_storage():
+    W = jnp.asarray(np.random.randn(64, 64).astype(np.float32))
+    p8, s8 = F.quantize_4bit(W, quant_storage=jnp.uint8)
+    # float storage dtypes alias to same-width unsigned ints (NaN-safe)
+    p16, s16 = F.quantize_4bit(W, quant_storage=jnp.bfloat16)
+    assert p16.dtype == jnp.uint16 and p16.size == p8.size // 2
+    out = F.dequantize_4bit(p16, quant_state=s16)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(F.dequantize_4bit(p8, quant_state=s8))
+    )
+
+
+def test_quant_state_serialization_roundtrip():
+    W = jnp.asarray(np.random.randn(32, 128).astype(np.float32))
+    for packed_fmt in (False, True):
+        packed, state = F.quantize_4bit(W, compress_statistics=True)
+        d = state.as_dict(packed=packed_fmt)
+        state2 = F.QuantState.from_dict(d)
+        out1 = F.dequantize_4bit(packed, quant_state=state)
+        out2 = F.dequantize_4bit(packed, quant_state=state2)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+        assert state2.blocksize == state.blocksize
+        assert state2.quant_type == state.quant_type
+        assert tuple(state2.shape) == tuple(state.shape)
+
+
+def test_quant_state_is_pytree():
+    W = jnp.asarray(np.random.randn(32, 64).astype(np.float32))
+    packed, state = F.quantize_4bit(W, compress_statistics=True)
+
+    @jax.jit
+    def dq(packed, state):
+        return F.dequantize_4bit(packed, quant_state=state)
+
+    out = dq(packed, state)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(F.dequantize_4bit(packed, quant_state=state)), atol=1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8
+# ---------------------------------------------------------------------------
+
+
+def test_int8_vectorwise_quant_roundtrip():
+    A = jnp.asarray(np.random.randn(48, 128).astype(np.float32))
+    q, stats, outliers = F.int8_vectorwise_quant(A)
+    assert outliers is None
+    assert q.dtype == jnp.int8
+    out = F.int8_vectorwise_dequant(q, stats)
+    assert jnp.abs(out - A).max() < stats.max() / 127.0
+
+
+def test_int8_vectorwise_quant_threshold():
+    A = np.random.randn(16, 64).astype(np.float32)
+    A[3, 10] = 50.0
+    A[7, 20] = -42.0
+    q, stats, mask = F.int8_vectorwise_quant(jnp.asarray(A), threshold=6.0)
+    mask = np.asarray(mask)
+    assert mask[10] and mask[20] and mask.sum() == 2
+    # outlier columns zeroed in the int8 output
+    qn = np.asarray(q)
+    assert (qn[:, 10] == 0).all() and (qn[:, 20] == 0).all()
+    # row stats exclude outliers
+    assert np.asarray(stats)[3] < 10.0
+
+
+def test_int8_linear_matmul_matches_fp():
+    A = np.random.randint(-127, 128, (8, 32)).astype(np.int8)
+    B = np.random.randint(-127, 128, (16, 32)).astype(np.int8)
+    out = F.int8_linear_matmul(jnp.asarray(A), jnp.asarray(B))
+    ref = A.astype(np.int32) @ B.astype(np.int32).T
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_int8_scaled_mm_accuracy():
+    A = np.random.randn(16, 64).astype(np.float32)
+    B = np.random.randn(32, 64).astype(np.float32)
+    qa, sa, _ = F.int8_vectorwise_quant(jnp.asarray(A))
+    qb, sb, _ = F.int8_vectorwise_quant(jnp.asarray(B))
+    out = F.int8_scaled_mm(qa, qb, sa, sb, dtype=jnp.float32)
+    ref = A @ B.T
+    rel = np.abs(np.asarray(out) - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.015, rel
+
+
+def test_int8_mixed_scaled_mm_outliers():
+    """With outlier decomposition ON, large-magnitude columns don't destroy
+    accuracy (the LLM.int8() premise)."""
+    rng = np.random.RandomState(1)
+    A = rng.randn(16, 64).astype(np.float32)
+    A[:, 5] *= 30.0  # systematic outlier column
+    B = rng.randn(32, 64).astype(np.float32)
+    ref = A @ B.T
+
+    qa, sa, mask = F.int8_vectorwise_quant(jnp.asarray(A), threshold=6.0)
+    qb, sb, _ = F.int8_vectorwise_quant(jnp.asarray(B))
+    out = F.int8_mixed_scaled_mm(
+        qa, jnp.asarray(A), qb, sa, sb, outlier_cols=mask, dtype=jnp.float32
+    )
+    rel = np.abs(np.asarray(out) - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel
+
+    # without decomposition the same data is much worse
+    qa2, sa2, _ = F.int8_vectorwise_quant(jnp.asarray(A))
+    out2 = F.int8_scaled_mm(qa2, qb, sa2, sb, dtype=jnp.float32)
+    rel2 = np.abs(np.asarray(out2) - ref).mean() / np.abs(ref).mean()
+    assert rel2 > rel * 2
+
+
+def test_int8_double_quant():
+    A = np.random.randn(16, 64).astype(np.float32)
+    out_row, out_col, row_stats, col_stats, _ = F.int8_double_quant(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(row_stats), np.abs(A).max(1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(col_stats), np.abs(A).max(0), rtol=1e-6)
+    ref_row = np.round(A * (127.0 / np.abs(A).max(1, keepdims=True)))
+    np.testing.assert_allclose(np.asarray(out_row), ref_row, atol=1)
+
+
+# ---------------------------------------------------------------------------
+# gemm_4bit (reference-tier path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("quant_type", ["nf4", "fp4"])
+@pytest.mark.parametrize("M", [1, 8])
+def test_gemm_4bit_matches_dequant_matmul(quant_type, M):
+    K, N = 256, 128
+    A = jnp.asarray(np.random.randn(M, K).astype(np.float32))
+    W = jnp.asarray(np.random.randn(N, K).astype(np.float32))
+    packed, state = F.quantize_4bit(W, quant_type=quant_type)
+    out = F.gemm_4bit(A, packed, state)
+    W_dq = F.dequantize_4bit(packed, quant_state=state)
+    ref = A @ W_dq.T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_gemm_4bit_nested_absmax():
+    K, N = 512, 64
+    A = jnp.asarray(np.random.randn(2, K).astype(np.float32))
+    W = jnp.asarray(np.random.randn(N, K).astype(np.float32))
+    packed, state = F.quantize_4bit(W, compress_statistics=True)
+    out = F.gemm_4bit(A, packed, state)
+    ref = A @ F.dequantize_4bit(packed, quant_state=state).T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

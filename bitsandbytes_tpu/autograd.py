@@ -111,40 +111,56 @@ def matmul(
     out_dtype = A.dtype
 
     if state.has_fp16_weights:
-        CB, SCB, _ = int8_vectorwise_quant(B)
-    else:
-        CB, SCB = state.CB, state.SCB
+        # Training path: quantization happens inside the custom-VJP so the
+        # quantized weight is a residual of the forward, and grad_B is the
+        # straight-through g^T @ A (reference :221-233).
+        @jax.custom_vjp
+        def core(A, B_fp):
+            CB, SCB, _ = int8_vectorwise_quant(B_fp)
+            return _int8_forward(A, CB, SCB, threshold, out_dtype)
 
-    @jax.custom_vjp
-    def core(A, B_fp):
-        return _int8_forward(A, CB, SCB, threshold, out_dtype)
+        def core_fwd(A, B_fp):
+            CB, SCB, _ = int8_vectorwise_quant(B_fp)
+            out = _int8_forward(A, CB, SCB, threshold, out_dtype)
+            return out, (A, CB, SCB)
 
-    def core_fwd(A, B_fp):
-        out = _int8_forward(A, CB, SCB, threshold, out_dtype)
-        return out, (A, B_fp)
-
-    def core_bwd(res, g):
-        A_res, B_fp = res
-        # grad_A = g @ dequant(CB): reference :235-238 uses CB * SCB / 127.
-        W_dq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
-        grad_A = jnp.matmul(g.astype(jnp.float32), W_dq, preferred_element_type=jnp.float32).astype(
-            g.dtype
-        )
-        if state.has_fp16_weights:
-            # grad_B = g^T @ A (reference :221-233 does this via int8; we use
-            # fp for the reference tier — exactness over the quantized path).
+        def core_bwd(res, g):
+            A_res, CB, SCB = res
+            W_dq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
+            grad_A = jnp.matmul(
+                g.astype(jnp.float32), W_dq, preferred_element_type=jnp.float32
+            ).astype(g.dtype)
             g2 = g.reshape(-1, g.shape[-1])
             A2 = A_res.reshape(-1, A_res.shape[-1])
-            grad_B = jnp.matmul(g2.T, A2.astype(g.dtype), preferred_element_type=jnp.float32).astype(
-                B_fp.dtype
+            grad_B = jnp.matmul(
+                g2.T.astype(jnp.float32), A2.astype(jnp.float32), preferred_element_type=jnp.float32
             )
-        else:
-            grad_B = jnp.zeros_like(B_fp)
-        return grad_A, grad_B
+            return grad_A, grad_B
 
-    core.defvjp(core_fwd, core_bwd)
-    B_arg = B if state.has_fp16_weights else jnp.zeros((0,), out_dtype)
-    out = core(A, B_arg)
+        core.defvjp(core_fwd, core_bwd)
+        out = core(A, B)
+    else:
+        # Frozen int8 weight: CB/SCB are not differentiated, so closing over
+        # them is safe; gradient flows to activations only.
+        CB, SCB = state.CB, state.SCB
+
+        @jax.custom_vjp
+        def core(A):
+            return _int8_forward(A, CB, SCB, threshold, out_dtype)
+
+        def core_fwd(A):
+            return core(A), None
+
+        def core_bwd(_, g):
+            W_dq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
+            grad_A = jnp.matmul(
+                g.astype(jnp.float32), W_dq, preferred_element_type=jnp.float32
+            ).astype(g.dtype)
+            return (grad_A,)
+
+        core.defvjp(core_fwd, core_bwd)
+        out = core(A)
+
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

@@ -120,16 +120,26 @@ def quantize_4bit(
     quant_type: str = "nf4",
     compress_statistics: bool = False,
     quant_storage=jnp.uint8,
+    layout: str = "flat",
 ) -> Tuple[jax.Array, QuantState]:
     """Quantize to a packed 4-bit representation.
 
-    Returns ``(packed [(n+1)//2, 1], QuantState)``.  With
-    ``compress_statistics`` the float32 absmax is itself blockwise-quantized
-    (dynamic 8-bit code, blocksize 256) around its mean offset — reference
-    functional.py:938-951.
+    Returns ``(packed, QuantState)``.  ``layout="flat"`` gives the
+    reference-canonical ``[(n+1)//2, 1]`` shape (checkpoint interop);
+    ``layout="2d"`` gives ``packed [N, K//2]`` / ``absmax [N, K//bs]`` — the
+    TPU-native layout for sharding (row-major identical bytes, so the two are
+    free reshapes of each other; requires 2-D input with K % blocksize == 0).
+
+    With ``compress_statistics`` the float32 absmax is itself blockwise-
+    quantized (dynamic 8-bit code, blocksize 256) around its mean offset —
+    reference functional.py:938-951.
     """
     if blocksize not in VALID_4BIT_BLOCKSIZES:
         raise ValueError(f"blocksize {blocksize} not in {VALID_4BIT_BLOCKSIZES}")
+    if layout not in ("flat", "2d"):
+        raise ValueError(f"layout must be 'flat' or '2d', got {layout!r}")
+    if layout == "2d" and (A.ndim != 2 or A.shape[-1] % blocksize or A.shape[-1] % 2):
+        raise ValueError("layout='2d' requires a 2-D input with K % blocksize == 0")
     midpoints, order = _quantize_tables(quant_type, blocksize)
     packed, absmax = _quantize_4bit_impl(A, midpoints, order, blocksize, quant_type)
     code = jnp.asarray(get_4bit_code(quant_type, blocksize))
@@ -195,7 +205,12 @@ def dequantize_4bit(
     shape: Optional[tuple] = None,
     dtype=jnp.float32,
 ) -> jax.Array:
-    """Dequantize a packed 4-bit tensor (reference functional.py:990-1077)."""
+    """Dequantize a packed 4-bit tensor (reference functional.py:990-1077).
+
+    On TPU this routes to the Pallas select-tree kernel: XLA's gather
+    lowering for the 16-entry codebook runs ~200x slower than the kernel
+    (measured), so the jnp gather path is only the CPU/oracle tier.
+    """
     if quant_state is not None:
         absmax = quant_state.dequant_absmax()
         blocksize = quant_state.blocksize
@@ -206,5 +221,22 @@ def dequantize_4bit(
         raise ValueError("either quant_state or (absmax, shape) must be provided")
     if A.dtype != jnp.uint8:
         A = jax.lax.bitcast_convert_type(A.reshape(-1), jnp.uint8)
+    shape = tuple(int(s) for s in shape)
+
+    from ..ops import dispatch
+
+    if dispatch.use_pallas() and len(shape) == 2:
+        from ..ops.pallas.gemm4bit import dequantize_4bit_pallas, pallas_dequant_supported
+
+        N, K = shape
+        if pallas_dequant_supported(N, K, blocksize):
+            return dequantize_4bit_pallas(
+                A.reshape(-1),
+                absmax,
+                code=tuple(float(x) for x in get_4bit_code(quant_type, blocksize)),
+                blocksize=blocksize,
+                shape=shape,
+                dtype=jnp.dtype(dtype).name,
+            )
     code = jnp.asarray(get_4bit_code(quant_type, blocksize))
-    return _dequantize_4bit_impl(A.reshape(-1), absmax, code, blocksize, tuple(shape), dtype)
+    return _dequantize_4bit_impl(A.reshape(-1), absmax, code, blocksize, shape, dtype)

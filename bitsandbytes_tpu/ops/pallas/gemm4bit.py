@@ -25,9 +25,11 @@ Key design decisions (TPU-first):
   vselects) on the VPU, with the codebook baked in as compile-time
   constants.
 
-* **Per-block scales via lane-repeat broadcast.**  absmax[n, k//bs] scales
-  whole quant blocks; with the even/odd split each absmax covers bs/2
-  contiguous bytes, so a static `pltpu.repeat` along lanes broadcasts it.
+* **Per-block scales via MXU expander broadcast.**  absmax is fed to the
+  kernel *transposed* ``[K/bs, N]`` (so its tiles satisfy Mosaic's
+  (8, 128) block constraints) and broadcast to per-byte granularity with a
+  tiny one-hot expander matmul ``scale[n, j] = sum_b absmax_T[b, n] *
+  E[b, j]`` — the MXU does the transpose+broadcast in one cheap op.
 
 * **f32 dequant math, bf16 MXU operands, f32 accumulation** — bit-identical
   to the reference numerics (dequant in fp32 then cast: default/ops.py:
@@ -54,8 +56,9 @@ def _interpret() -> bool:
 
 
 def _decode_tree(q, code: np.ndarray):
-    """Map 4-bit indices ``q`` (uint8/int dtype array) to float32 codebook
-    values with a binary select tree (15 vselects, log-depth)."""
+    """Map 4-bit indices ``q`` (int32 array) to float32 codebook values with
+    a binary select tree (15 vselects, log-depth).  int32 compares — Mosaic
+    cannot cast uint8 directly to float and mis-lays-out u8-compare masks."""
     c = [np.float32(v) for v in code]
 
     def tree(lo, hi):
@@ -67,15 +70,40 @@ def _decode_tree(q, code: np.ndarray):
     return tree(0, 16)
 
 
+def _block_expander(nb: int, TKh: int, sb: int):
+    """One-hot f32 matrix E[nb, TKh] with E[b, j] = (j // sb == b): broadcasts
+    per-block scales to per-byte columns via a single small matmul."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, TKh), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, TKh), 1) // sb
+    return (rows == cols).astype(jnp.float32)
+
+
+def _broadcast_scale(scale_t, TKh: int, sb: int):
+    """[nb, TN] transposed per-block scales -> [TN, TKh] per-byte scales."""
+    nb = scale_t.shape[0]
+    E = _block_expander(nb, TKh, sb)
+    # HIGHEST precision: the MXU's default f32 path truncates to bf16
+    # mantissas, which would perturb the scales; this matmul is tiny.
+    return jax.lax.dot_general(
+        scale_t,
+        E,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _gemm4bit_kernel(a_even_ref, a_odd_ref, bp_ref, scale_ref, out_ref, *, code, blocksize, n_k):
     k = pl.program_id(2)
 
-    p = bp_ref[:]  # [TN, TKh] uint8
-    hi = (p >> 4).astype(jnp.uint8)
-    lo = (p & 0xF).astype(jnp.uint8)
+    p = bp_ref[:].astype(jnp.int32)  # [TN, TKh] packed bytes
+    hi = p >> 4
+    lo = p & 0xF
 
-    # Per-block scale, broadcast to per-byte: each absmax covers bs/2 bytes.
-    scale = pltpu.repeat(scale_ref[:], blocksize // 2, axis=1)  # [TN, TKh] f32
+    # Per-block scale: scale_ref is [TKh//sb, TN] (transposed); expand to
+    # per-byte [TN, TKh] on the MXU.
+    TKh = p.shape[1]
+    scale = _broadcast_scale(scale_ref[:], TKh, blocksize // 2)
 
     b_hi = (_decode_tree(hi, code) * scale).astype(a_even_ref.dtype)
     b_lo = (_decode_tree(lo, code) * scale).astype(a_even_ref.dtype)
@@ -96,9 +124,17 @@ def _gemm4bit_kernel(a_even_ref, a_odd_ref, bp_ref, scale_ref, out_ref, *, code,
 def _pick_tiles(M: int, N: int, K: int, blocksize: int):
     """Tile selection: TKh (packed-K tile) must be a lane multiple and a
     multiple of bs/2 so absmax tiles align; TN a sublane-friendly row tile."""
-    TKh_candidates = (1024, 512, 256, 128)
-    TKh = next((t for t in TKh_candidates if (K // 2) % t == 0 and t % max(blocksize // 2, 1) == 0), None)
-    TN = next((t for t in (256, 128, 64, 32) if N % t == 0), None)
+    TKh_candidates = (512, 256, 128)  # VMEM: ~16 live f32 temporaries per tile
+    sb = blocksize // 2
+    TKh = next(
+        (
+            t
+            for t in TKh_candidates
+            if (K // 2) % t == 0 and t % sb == 0 and (t // sb) % 8 == 0
+        ),
+        None,
+    )
+    TN = next((t for t in (256, 128) if N % t == 0), None)
     if M <= 16:
         TM = M
     else:
@@ -150,7 +186,7 @@ def _gemm_4bit_fused_jit(A, B_packed, absmax, *, code, blocksize, out_dtype):
             pl.BlockSpec((TM, TKh), lambda m, i, k: (m, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, TKh), lambda m, i, k: (m, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((TN, TKh), lambda m, i, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, TKh // sb), lambda m, i, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TKh // sb, TN), lambda m, i, k: (k, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda m, i, k: (m, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((A.shape[0], N), jnp.float32),
@@ -163,7 +199,7 @@ def _gemm_4bit_fused_jit(A, B_packed, absmax, *, code, blocksize, out_dtype):
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(a_even, a_odd, B_packed, absmax.reshape(N, K // blocksize))
+    )(a_even, a_odd, B_packed, absmax.reshape(N, K // blocksize).T)
 
     return out[:M].astype(out_dtype)
 
@@ -211,10 +247,25 @@ def gemm_4bit_fused(
 
 
 def _dequant4_kernel(bp_ref, scale_ref, hi_ref, lo_ref, *, code, blocksize):
-    p = bp_ref[:]
-    scale = pltpu.repeat(scale_ref[:], blocksize // 2, axis=1)
-    hi_ref[:] = (_decode_tree((p >> 4).astype(jnp.uint8), code) * scale).astype(hi_ref.dtype)
-    lo_ref[:] = (_decode_tree((p & 0xF).astype(jnp.uint8), code) * scale).astype(lo_ref.dtype)
+    p = bp_ref[:].astype(jnp.int32)
+    scale = _broadcast_scale(scale_ref[:], p.shape[1], blocksize // 2)
+    hi_ref[:] = (_decode_tree(p >> 4, code) * scale).astype(hi_ref.dtype)
+    lo_ref[:] = (_decode_tree(p & 0xF, code) * scale).astype(lo_ref.dtype)
+
+
+def _dequant_tiles(N, K, blocksize):
+    sb2 = blocksize // 2
+    Kh = K // 2
+    TN = next((t for t in (256, 128) if N % t == 0), None)
+    TKh = next(
+        (t for t in (512, 256, 128) if Kh % t == 0 and t % sb2 == 0 and (t // sb2) % 8 == 0),
+        None,
+    )
+    return (TN, TKh) if (TN is not None and TKh is not None) else (None, None)
+
+
+def pallas_dequant_supported(N: int, K: int, blocksize: int) -> bool:
+    return K % 2 == 0 and K % blocksize == 0 and _dequant_tiles(N, K, blocksize)[0] is not None
 
 
 @functools.partial(jax.jit, static_argnames=("code", "blocksize", "shape", "dtype"))
@@ -225,11 +276,13 @@ def dequantize_4bit_pallas(B_packed, absmax, *, code, blocksize, shape, dtype):
     produced separately and re-interleaved by XLA — used where a
     materialized weight is genuinely needed (e.g. backward's grad @ W).
     """
+    dtype = jnp.dtype(dtype)
     N, K = shape
     Kh = K // 2
     code_arr = np.asarray(code, dtype=np.float32)
-    TN = next(t for t in (256, 128, 64, 32, 16, 8, 4, 2, 1) if N % t == 0)
-    TKh = next(t for t in (1024, 512, 256, 128) if Kh % t == 0 and t % (blocksize // 2) == 0)
+    TN, TKh = _dequant_tiles(N, K, blocksize)
+    if TN is None:
+        raise ValueError(f"pallas dequant unsupported for shape {(N, K)} bs={blocksize}")
     grid = (N // TN, Kh // TKh)
     sb = blocksize // 2
     hi, lo = pl.pallas_call(
@@ -237,7 +290,7 @@ def dequantize_4bit_pallas(B_packed, absmax, *, code, blocksize, shape, dtype):
         grid=grid,
         in_specs=[
             pl.BlockSpec((TN, TKh), lambda i, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, TKh // sb), lambda i, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TKh // sb, TN), lambda i, k: (k, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((TN, TKh), lambda i, k: (i, k), memory_space=pltpu.VMEM),
@@ -248,6 +301,6 @@ def dequantize_4bit_pallas(B_packed, absmax, *, code, blocksize, shape, dtype):
             jax.ShapeDtypeStruct((N, Kh), dtype),
         ],
         interpret=_interpret(),
-    )(B_packed.reshape(N, Kh), absmax.reshape(N, K // blocksize))
+    )(B_packed.reshape(N, Kh), absmax.reshape(N, K // blocksize).T)
     out = jnp.stack([hi, lo], axis=-1).reshape(N, K)
     return out

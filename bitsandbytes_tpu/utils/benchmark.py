@@ -1,0 +1,97 @@
+"""Reliable on-device kernel timing.
+
+Wall-clock timing of single dispatches is unreliable on remote/tunneled TPU
+runtimes: dispatch is asynchronous and `block_until_ready` can return before
+execution completes (measured: a 2000-iteration matmul loop "completed" in
+0ms by block_until_ready but took 10.9s to produce its value).  Ground truth
+here comes from:
+
+  1. running the op inside one jitted `fori_loop` with a full-tensor,
+     non-foldable data dependency between iterations (XLA cannot hoist or
+     elide the body), and
+  2. forcing completion with a host readback of the result value, and
+  3. taking the *marginal* cost between a large and a small iteration count,
+     which cancels dispatch/readback/pipeline-fill overheads.
+
+This is the analog of the reference's `torch.cuda.synchronize`-based kernel
+benchmarks (benchmarking/matmul_benchmark.py) done the XLA way.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["device_loop_time", "sol_fraction"]
+
+
+def _make_loop(fn: Callable, n_args: int, iters: int):
+    @jax.jit
+    def loop(*args):
+        def body(i, carry):
+            out = fn(*carry)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            dep = leaf.astype(jnp.float32).ravel()[0]
+            # Exact zero that XLA cannot constant-fold (it cannot prove the
+            # output is never NaN), so adding it is a numerical no-op while
+            # making every argument depend on the previous iteration.
+            zero = jnp.where(jnp.isnan(dep), dep, 0.0)
+
+            def perturb(a):
+                return a + zero.astype(a.dtype)
+            # Every argument depends on the previous iteration's output, so
+            # XLA cannot hoist any part of fn out of the loop.
+            return tuple(perturb(a) for a in args)
+
+        final = jax.lax.fori_loop(0, iters, body, tuple(args))
+        return jax.tree_util.tree_leaves(final)[0].ravel()[0]
+
+    return loop
+
+
+def device_loop_time(
+    fn: Callable,
+    args: Sequence,
+    iters: int = 200,
+    warmup: int = 1,
+    repeats: int = 2,
+) -> float:
+    """Median marginal seconds per call of ``fn(*args)`` measured on-device.
+
+    Runs loops of ``iters`` and ``4*iters`` iterations; the reported time is
+    ``(T_long - T_short) / (3*iters)``, which cancels fixed overheads.
+    """
+    short = _make_loop(fn, len(args), iters)
+    long = _make_loop(fn, len(args), 4 * iters)
+
+    def run(loop):
+        return float(loop(*args))  # value readback forces completion
+
+    for _ in range(warmup):
+        run(short)
+        run(long)
+
+    results = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run(short)
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(long)
+        t_long = time.perf_counter() - t0
+        results.append(max(t_long - t_short, 1e-9) / (3 * iters))
+    results.sort()
+    return results[len(results) // 2]
+
+
+def sol_fraction(seconds: float, bytes_accessed: float, hbm_gbps: float = 819.0) -> float:
+    """Fraction of speed-of-light under an HBM-bandwidth-bound model.
+
+    ``hbm_gbps`` defaults to TPU v5e's spec sheet (~819 GB/s); calibrate with
+    a known-bound op for the actual part before quoting absolute numbers.
+    """
+    sol_t = bytes_accessed / (hbm_gbps * 1e9)
+    return sol_t / max(seconds, 1e-12)

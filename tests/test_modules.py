@@ -1,0 +1,151 @@
+"""Module-level tests: Linear4bit/Linear8bitLt/embeddings forward + backprop
+(reference tests/test_modules.py, test_linear4bit.py, test_linear8bitlt.py)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bitsandbytes_tpu as bnb
+import bitsandbytes_tpu.functional as F
+from bitsandbytes_tpu.nn import (
+    Embedding4bit,
+    Embedding8bit,
+    Linear4bit,
+    Linear8bitLt,
+    StableEmbedding,
+    QuantizedTensor,
+    dequantize_tree,
+    mask_quantized,
+    quantize_tree,
+)
+
+
+@pytest.mark.parametrize("quant_type", ["nf4", "fp4"])
+def test_linear4bit_matches_dequant_linear(quant_type):
+    m = Linear4bit(features=64, quant_type=quant_type, compute_dtype=jnp.float32)
+    x = jnp.asarray(np.random.randn(4, 128).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    qt: QuantizedTensor = params["params"]["kernel"]
+    W_dq = qt.dequantize()
+    ref = x @ W_dq.T.astype(jnp.float32) + params["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_linear4bit_grad_flows_to_input_not_weight():
+    m = Linear4bit(features=32, use_bias=False, compute_dtype=jnp.float32)
+    x = jnp.asarray(np.random.randn(2, 64).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(x):
+        return m.apply(params, x).sum()
+
+    g = jax.grad(loss)(x)
+    # grad_A = 1 @ W_dq (reference autograd/_functions.py:381-384)
+    W_dq = params["params"]["kernel"].dequantize()
+    ref = jnp.ones((2, 32)) @ W_dq
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_kbit_backprop_vs_fp_reference():
+    """Quantized-layer backprop approximates the fp backprop (reference
+    test_modules.py:244 test_kbit_backprop error-budget pattern)."""
+    rng = np.random.RandomState(0)
+    W = rng.randn(64, 128).astype(np.float32) * 0.1
+    x = jnp.asarray(rng.randn(8, 128).astype(np.float32))
+
+    packed, state = F.quantize_4bit(jnp.asarray(W))
+
+    def loss_q(x):
+        return (bnb.matmul_4bit(x, packed, state) ** 2).sum()
+
+    def loss_fp(x):
+        return ((x @ W.T) ** 2).sum()
+
+    gq = jax.grad(loss_q)(x)
+    gfp = jax.grad(loss_fp)(x)
+    rel = np.abs(np.asarray(gq) - np.asarray(gfp)).mean() / (np.abs(np.asarray(gfp)).mean() + 1e-9)
+    assert rel < 0.15, rel
+
+
+@pytest.mark.parametrize("threshold", [0.0, 6.0])
+def test_linear8bitlt_forward(threshold):
+    m = Linear8bitLt(features=48, threshold=threshold, compute_dtype=jnp.float32)
+    x = jnp.asarray(np.random.randn(4, 64).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    W_dq = params["params"]["kernel"].dequantize()
+    ref = x @ W_dq.T + params["params"]["bias"]
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).mean() / np.abs(np.asarray(ref)).mean()
+    assert rel < 0.02, rel
+
+
+def test_linear8bitlt_training_mode_grads():
+    m = Linear8bitLt(features=16, has_fp16_weights=True, use_bias=False, compute_dtype=jnp.float32)
+    x = jnp.asarray(np.random.randn(4, 32).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, x):
+        return (m.apply(params, x) ** 2).sum()
+
+    g = jax.grad(loss)(params, x)
+    gW = np.asarray(g["params"]["kernel"])
+    assert np.isfinite(gW).all() and (gW != 0).any()
+
+
+def test_embedding4bit_lossy_roundtrip():
+    m = Embedding4bit(num_embeddings=100, features=64)
+    ids = jnp.asarray([[1, 5], [99, 0]])
+    params = m.init(jax.random.PRNGKey(0), ids)
+    out = m.apply(params, ids)
+    assert out.shape == (2, 2, 64)
+    table_dq = params["params"]["embedding"].dequantize()
+    ref = np.asarray(table_dq)[np.asarray(ids).reshape(-1)].reshape(2, 2, 64)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_embedding8bit():
+    m = Embedding8bit(num_embeddings=50, features=32)
+    ids = jnp.asarray([3, 7, 49])
+    params = m.init(jax.random.PRNGKey(0), ids)
+    out = m.apply(params, ids)
+    assert out.shape == (3, 32)
+    ref = params["params"]["embedding"].dequantize()
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref)[np.asarray(ids)], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_stable_embedding_layernorm():
+    m = StableEmbedding(num_embeddings=10, features=16)
+    ids = jnp.asarray([0, 1, 2])
+    params = m.init(jax.random.PRNGKey(0), ids)
+    out = m.apply(params, ids)
+    # LayerNorm output: ~zero mean, ~unit variance per row
+    np.testing.assert_allclose(np.asarray(out).mean(-1), 0.0, atol=1e-5)
+
+
+def test_quantize_tree_roundtrip():
+    params = {
+        "expert0": {"w": jnp.asarray(np.random.randn(64, 128).astype(np.float32))},
+        "scalar": jnp.asarray(np.random.randn(16).astype(np.float32)),
+    }
+    qparams = quantize_tree(params)
+    assert isinstance(qparams["expert0"]["w"], QuantizedTensor)
+    assert not isinstance(qparams["scalar"], QuantizedTensor)  # too small
+    dparams = dequantize_tree(qparams)
+    err = np.abs(np.asarray(dparams["expert0"]["w"]) - np.asarray(params["expert0"]["w"])).mean()
+    assert err < 0.05
+    mask = mask_quantized(qparams)
+    assert mask["expert0"]["w"] is False and mask["scalar"] is True
+
+
+def test_linear4bit_under_jit():
+    m = Linear4bit(features=32, compute_dtype=jnp.float32)
+    x = jnp.asarray(np.random.randn(2, 64).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out1 = jax.jit(lambda p, x: m.apply(p, x))(params, x)
+    out2 = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-5, atol=1e-5)

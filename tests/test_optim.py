@@ -1,0 +1,194 @@
+"""Optimizer tests: 32-bit vs analytic oracle, 8-bit vs 32-bit agreement.
+
+Mirrors the reference oracle-comparison harness (tests/test_optim.py:27-144):
+each bitsandbytes_tpu optimizer runs k steps against an independently-written
+numpy reference; 8-bit variants must track the 32-bit trajectory within an
+error budget.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import bitsandbytes_tpu.optim as bnb_optim
+
+K_STEPS = 15
+
+
+def _np_adam(params, grads_seq, lr=0.01, b1=0.9, b2=0.999, eps=1e-8, wd=0.0):
+    p = params.astype(np.float64).copy()
+    m = np.zeros_like(p)
+    v = np.zeros_like(p)
+    for t, g in enumerate(grads_seq, start=1):
+        g = g.astype(np.float64)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        c1 = 1 - b1**t
+        c2 = np.sqrt(1 - b2**t)
+        if wd > 0:
+            p *= 1 - lr * wd
+        p += -lr * (c2 / c1) * m / (np.sqrt(v) + eps * c2)
+    return p
+
+
+def _np_lion(params, grads_seq, lr=1e-4, b1=0.9, b2=0.99, wd=0.0):
+    p = params.astype(np.float64).copy()
+    m = np.zeros_like(p)
+    for g in grads_seq:
+        g = g.astype(np.float64)
+        if wd > 0:
+            p *= 1 - lr * wd
+        p -= lr * np.sign(b1 * m + (1 - b1) * g)
+        m = b2 * m + (1 - b2) * g
+    return p
+
+
+def _np_momentum(params, grads_seq, lr=0.01, b1=0.9):
+    p = params.astype(np.float64).copy()
+    m = np.zeros_like(p)
+    for t, g in enumerate(grads_seq, start=1):
+        g = g.astype(np.float64)
+        m = g if t == 1 else b1 * m + g
+        p -= lr * m
+    return p
+
+
+def _np_rmsprop(params, grads_seq, lr=0.01, b1=0.99, eps=1e-8):
+    p = params.astype(np.float64).copy()
+    v = np.zeros_like(p)
+    for g in grads_seq:
+        g = g.astype(np.float64)
+        v = b1 * v + (1 - b1) * g * g
+        p -= lr * g / (np.sqrt(v) + eps)
+    return p
+
+
+def _np_adagrad(params, grads_seq, lr=0.01, eps=1e-10):
+    p = params.astype(np.float64).copy()
+    v = np.zeros_like(p)
+    for g in grads_seq:
+        g = g.astype(np.float64)
+        v = v + g * g
+        p -= lr * g / (np.sqrt(v) + eps)
+    return p
+
+
+def _run(tx, params, grads_seq):
+    state = tx.init(params)
+    p = params
+    for g in grads_seq:
+        updates, state = tx.update(g, state, p)
+        p = optax.apply_updates(p, updates)
+    return p
+
+
+def _data(n=4096):
+    rng = np.random.RandomState(42)
+    params = rng.randn(n).astype(np.float32) * 0.1
+    grads = [rng.randn(n).astype(np.float32) * 0.01 for _ in range(K_STEPS)]
+    return params, grads
+
+
+@pytest.mark.parametrize(
+    "factory,oracle,kwargs",
+    [
+        (bnb_optim.adam32bit, _np_adam, dict(learning_rate=0.01)),
+        (bnb_optim.adamw32bit, lambda p, g: _np_adam(p, g, lr=0.01, wd=1e-2), dict(learning_rate=0.01)),
+        (bnb_optim.lion32bit, _np_lion, dict(learning_rate=1e-4)),
+        (bnb_optim.sgd32bit, _np_momentum, dict(learning_rate=0.01, momentum=0.9)),
+        (bnb_optim.rmsprop32bit, _np_rmsprop, dict(learning_rate=0.01)),
+        (bnb_optim.adagrad32bit, _np_adagrad, dict(learning_rate=0.01)),
+    ],
+    ids=["adam", "adamw", "lion", "sgd", "rmsprop", "adagrad"],
+)
+def test_optimizer_32bit_vs_oracle(factory, oracle, kwargs):
+    params_np, grads_np = _data()
+    tx = factory(**kwargs)
+    p = _run(tx, jnp.asarray(params_np), [jnp.asarray(g) for g in grads_np])
+    ref = oracle(params_np, grads_np)
+    np.testing.assert_allclose(np.asarray(p), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["adam", "adamw", "lion", "sgd", "rmsprop"],
+)
+def test_optimizer_8bit_tracks_32bit(name):
+    """8-bit state optimizers stay close to the 32-bit trajectory (reference
+    tests/test_optim.py:387+ error-budget pattern)."""
+    params_np, grads_np = _data(8192)
+    kwargs = dict(momentum=0.9) if name == "sgd" else {}
+    lr = 1e-4 if name == "lion" else 0.01
+    tx32 = getattr(bnb_optim, f"{name}32bit")(learning_rate=lr, **kwargs)
+    tx8 = getattr(bnb_optim, f"{name}8bit")(learning_rate=lr, **kwargs)
+    p32 = _run(tx32, jnp.asarray(params_np), [jnp.asarray(g) for g in grads_np])
+    p8 = _run(tx8, jnp.asarray(params_np), [jnp.asarray(g) for g in grads_np])
+    diff = np.abs(np.asarray(p32) - np.asarray(p8))
+    # error budget: a small fraction may exceed the tight tolerance
+    frac_bad = (diff > 1e-2).mean()
+    assert frac_bad < 0.002, (frac_bad, diff.max())
+    assert diff.mean() < 2e-3
+
+
+def test_8bit_small_param_uses_32bit_state():
+    """Params under min_8bit_size keep fp32 state (reference
+    optim/optimizer.py:429-432)."""
+    tx = bnb_optim.adam8bit(min_8bit_size=4096)
+    params = {"small": jnp.zeros(100), "big": jnp.zeros(5000)}
+    state = tx.init(params)
+    assert state.leaves["small"]["state1"].dtype == jnp.float32
+    assert state.leaves["big"]["state1"].dtype == jnp.uint8
+    assert state.leaves["big"]["absmax1"].shape == (-(-5000 // 256),)
+
+
+def test_ademamix_runs():
+    params_np, grads_np = _data(4096)
+    for bits in (32, 8):
+        tx = bnb_optim.ademamix(learning_rate=1e-3, optim_bits=bits)
+        p = _run(tx, jnp.asarray(params_np), [jnp.asarray(g) for g in grads_np])
+        assert np.isfinite(np.asarray(p)).all()
+        # ademamix uses two EMAs in state1
+        state = tx.init(jnp.asarray(params_np))
+        assert state.leaves["state1"].shape[0] == 2
+
+
+def test_lamb_lars_run():
+    params_np, grads_np = _data(512)
+    for f in (bnb_optim.lamb, bnb_optim.lars):
+        tx = f(learning_rate=0.01)
+        p = _run(tx, jnp.asarray(params_np), [jnp.asarray(g) for g in grads_np])
+        assert np.isfinite(np.asarray(p)).all()
+        assert not np.allclose(np.asarray(p), params_np)
+
+
+def test_8bit_nonfinite_grad_skips_update():
+    """NaN/Inf gradients leave the param unchanged (kernels.cu:1017)."""
+    params = jnp.ones(4096)
+    tx = bnb_optim.adam8bit(learning_rate=0.1)
+    state = tx.init(params)
+    g = jnp.ones(4096).at[7].set(jnp.nan).at[13].set(jnp.inf)
+    updates, state = tx.update(g, state, params)
+    u = np.asarray(updates)
+    assert u[7] == 0.0 and u[13] == 0.0
+    assert (u[np.arange(4096) % 4096 != 7] != 0).sum() > 4000
+
+
+def test_optimizer_under_jit_scan():
+    """The whole optimizer step jits and scans (TPU training-loop shape)."""
+    params = {"w": jnp.ones((64, 64)), "b": jnp.zeros(64)}
+    tx = bnb_optim.paged_adamw8bit(learning_rate=0.01)
+    state = tx.init(params)
+
+    @jax.jit
+    def step(carry, g):
+        p, s = carry
+        updates, s = tx.update(g, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), ()
+
+    g = {"w": jnp.ones((64, 64)) * 0.1, "b": jnp.ones(64) * 0.1}
+    (p, s), _ = jax.lax.scan(step, (params, state), None, length=3)
+    assert np.isfinite(np.asarray(p["w"])).all()
+    assert int(s.step) == 3

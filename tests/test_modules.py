@@ -137,7 +137,7 @@ def test_quantize_tree_roundtrip():
     assert not isinstance(qparams["scalar"], QuantizedTensor)  # too small
     dparams = dequantize_tree(qparams)
     err = np.abs(np.asarray(dparams["expert0"]["w"]) - np.asarray(params["expert0"]["w"])).mean()
-    assert err < 0.05
+    assert err < 0.12  # NF4 mean abs err on N(0,1) is ~0.07
     mask = mask_quantized(qparams)
     assert mask["expert0"]["w"] is False and mask["scalar"] is True
 

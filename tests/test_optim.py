@@ -181,14 +181,15 @@ def test_optimizer_under_jit_scan():
     tx = bnb_optim.paged_adamw8bit(learning_rate=0.01)
     state = tx.init(params)
 
+    g = {"w": jnp.ones((64, 64)) * 0.1, "b": jnp.ones(64) * 0.1}
+
     @jax.jit
-    def step(carry, g):
+    def step(carry, _):
         p, s = carry
         updates, s = tx.update(g, s, p)
         p = optax.apply_updates(p, updates)
         return (p, s), ()
 
-    g = {"w": jnp.ones((64, 64)) * 0.1, "b": jnp.ones(64) * 0.1}
     (p, s), _ = jax.lax.scan(step, (params, state), None, length=3)
     assert np.isfinite(np.asarray(p["w"])).all()
     assert int(s.step) == 3

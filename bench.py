@@ -1,0 +1,111 @@
+"""Headline benchmark: NF4 decode throughput vs bf16 at 2x batch.
+
+North-star target (BASELINE.json): Llama-3-8B NF4 decode >= 85% of bf16
+tokens/s/chip at 2x the batch size (the memory saved by 4-bit weights is
+spent on batch).  Reference comparison point: bitsandbytes NF4/bf16 decode
+ratios range 0.64x (T4) to 1.43x (RTX 4090) at bs=1
+(reference benchmarking/README.md:28-64).
+
+Runs on one real chip with Llama-3-8B layer geometry (hidden 4096, ffn
+14336, GQA 32/8 heads); layer count is scaled to fit both the bf16 and NF4
+model on one chip — per-layer decode cost dominates and is layer-count-
+invariant, so the ratio transfers.
+
+Timing uses the hoist-proof on-device loop harness
+(bitsandbytes_tpu.utils.benchmark.device_loop_time): on this tunneled TPU
+runtime, block_until_ready can return before execution completes, so naive
+wall-clock loops are meaningless.  The harness runs the step inside a jitted
+fori_loop with a non-foldable data dependency and reads back a value,
+reporting the marginal per-iteration cost.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+vs_baseline = value / 0.85 (the north-star ratio target); >= 1.0 means the
+target is met.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+
+
+def _time_decode(params, cfg, batch, cache_len, iters):
+    from bitsandbytes_tpu.models import llama as L
+    from bitsandbytes_tpu.utils.benchmark import device_loop_time
+
+    cache = L.init_kv_cache(cfg, batch, cache_len)
+    tok = jnp.zeros((batch,), jnp.int32)
+    pos = cache_len // 2  # python int: traced as a literal, not a captured array
+
+    # params passed as an argument — closing over them would bake multi-GB
+    # constants into the compiled loop (catastrophic via remote compile).
+    def step(params, tok, k, v):
+        logits, new_cache = L.decode_step(params, tok, cfg, L.KVCache(k, v), pos)
+        return jnp.argmax(logits, -1).astype(jnp.int32), new_cache.k, new_cache.v
+
+    sec = device_loop_time(
+        step, (tok, cache.k, cache.v), iters=iters, const_args=(params,)
+    )
+    return batch / sec  # aggregate tokens/s
+
+
+def main():
+    from bitsandbytes_tpu.models import llama as L
+
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if on_tpu:
+        # 4 layers: largest config that reliably fits bf16 + NF4 + bench loop
+        # buffers on this pool's chip (6+ layers hits ResourceExhausted even
+        # though a fresh session can allocate 15.5 GB — the remote runtime
+        # appears to reserve per-executable headroom).
+        num_layers, bs, cache_len, iters = 4, 8, 256, 20
+        cfg = L.LlamaConfig.llama3_8b(num_layers=num_layers)
+    else:  # CPU fallback so the bench always emits a line
+        num_layers, bs, cache_len, iters = 2, 2, 64, 2
+        cfg = L.LlamaConfig.tiny()
+
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    jax.block_until_ready(params)
+    # Quantize layer-by-layer with explicit syncs: on the async remote
+    # runtime, un-synced eager quantization piles up multi-GB f32 transients
+    # faster than the device frees them (observed ResourceExhausted).
+    qparams = dict(params)
+    qlayers = []
+    for layer in params["layers"]:
+        qlayer = L.quantize_params_4bit(
+            {"layers": [layer], "embed": None, "final_norm": None, "lm_head": None},
+            quant_type="nf4",
+            blocksize=64,
+            fuse=True,
+        )["layers"][0]
+        jax.block_until_ready(jax.tree_util.tree_leaves(qlayer))
+        qlayers.append(qlayer)
+    qparams["layers"] = qlayers
+
+    bf16_tok_s = _time_decode(params, cfg, bs, cache_len, iters)
+    nf4_tok_s = _time_decode(qparams, cfg, 2 * bs, cache_len, iters)
+
+    ratio = nf4_tok_s / bf16_tok_s
+    print(
+        json.dumps(
+            {
+                "metric": "llama8b_nf4_decode_tok_s_ratio_vs_bf16_2xbatch",
+                "value": round(ratio, 4),
+                "unit": "ratio",
+                "vs_baseline": round(ratio / 0.85, 4),
+                "detail": {
+                    "bf16_tok_s": round(bf16_tok_s, 2),
+                    "nf4_tok_s_2xbatch": round(nf4_tok_s, 2),
+                    "num_layers": num_layers,
+                    "batch_bf16": bs,
+                    "batch_nf4": 2 * bs,
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

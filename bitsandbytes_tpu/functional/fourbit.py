@@ -107,9 +107,14 @@ def _quantize_4bit_impl(A, midpoints, order, blocksize, quant_type):
     scaled = scaled[:n]
     if n % 2:
         scaled = jnp.pad(scaled, (0, 1))
-    rank = jnp.searchsorted(midpoints, scaled, side="left")
+    # rank = #{midpoints < x} == searchsorted(midpoints, x, 'left'), computed
+    # as 15 fused compare-accumulates: O(n) memory (searchsorted's lowering
+    # materialized multi-GB intermediates on 100M+-element weights).
+    rank = jnp.zeros(scaled.shape, jnp.uint8)
+    for i in range(midpoints.shape[0]):
+        rank = rank + (scaled > midpoints[i]).astype(jnp.uint8)
     if quant_type != "nf4":  # nf4 code is sorted: rank == bit pattern
-        rank = jnp.take(order, rank)
+        rank = jnp.take(order, rank.astype(jnp.int32))
     packed = pack_4bit(rank.astype(jnp.uint8))
     return packed.reshape(-1, 1), absmax
 
@@ -141,7 +146,30 @@ def quantize_4bit(
     if layout == "2d" and (A.ndim != 2 or A.shape[-1] % blocksize or A.shape[-1] % 2):
         raise ValueError("layout='2d' requires a 2-D input with K % blocksize == 0")
     midpoints, order = _quantize_tables(quant_type, blocksize)
-    packed, absmax = _quantize_4bit_impl(A, midpoints, order, blocksize, quant_type)
+    # Large 2-D weights quantize in row slabs (rows own whole quant blocks
+    # when K % blocksize == 0, so slabbing is bit-identical): one huge
+    # elementwise graph per 100M+-element weight is too big for some TPU
+    # compile services and wastes transient HBM.
+    _SLAB_ELEMS = 1 << 25
+    if (
+        A.ndim == 2
+        and A.shape[1] % blocksize == 0
+        and A.shape[1] % 2 == 0
+        and A.size > _SLAB_ELEMS
+    ):
+        N_, K_ = A.shape
+        slab = max(1, _SLAB_ELEMS // K_)
+        packed_parts, absmax_parts = [], []
+        for i in range(0, N_, slab):
+            p_i, am_i = _quantize_4bit_impl(
+                A[i : i + slab], midpoints, order, blocksize, quant_type
+            )
+            packed_parts.append(p_i)
+            absmax_parts.append(am_i)
+        packed = jnp.concatenate(packed_parts, axis=0)
+        absmax = jnp.concatenate(absmax_parts, axis=0)
+    else:
+        packed, absmax = _quantize_4bit_impl(A, midpoints, order, blocksize, quant_type)
     code = jnp.asarray(get_4bit_code(quant_type, blocksize))
 
     if compress_statistics:

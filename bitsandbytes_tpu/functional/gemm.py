@@ -51,11 +51,15 @@ def gemm_4bit(
 
         if fused_gemm_supported(M, N, K, quant_state.blocksize):
             absmax = quant_state.dequant_absmax()
+            # Codebook from the *static* quant_type, not the traced code leaf:
+            # it must be a compile-time constant for the select-tree decode.
+            from .codebooks import get_4bit_code
+
             out = gemm_4bit_fused(
                 A,
                 B_packed,
                 absmax,
-                code=np.asarray(quant_state.code),
+                code=get_4bit_code(quant_state.quant_type, quant_state.blocksize),
                 blocksize=quant_state.blocksize,
                 shapeB=(N, K),
             )

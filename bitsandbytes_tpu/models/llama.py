@@ -1,0 +1,425 @@
+"""Llama-family transformer on the quantized compute path.
+
+The flagship model for the framework's serving/training slices
+(BASELINE.json configs #2-#5: NF4 decode, LLM.int8() inference, QLoRA
+finetune).  The reference library has no model zoo — it integrates with HF
+Transformers (reference examples/int8_inference_huggingface.py:1-20) — but a
+TPU-native framework serves models directly, so the model is a first-class,
+purely-functional citizen:
+
+* params are a plain pytree whose linear-weight leaves may be fp arrays,
+  :class:`~bitsandbytes_tpu.nn.QuantizedTensor` (NF4/FP4 packed), or
+  :class:`~bitsandbytes_tpu.nn.Int8TensorState` (LLM.int8()) — the forward
+  dispatches per-leaf, exactly as HF swaps nn.Linear for bnb.nn.Linear4bit
+  (reference utils.py:121-163 `replace_linear`).
+* the decode step is a single jitted function over a static-shape KV cache
+  (XLA-friendly: no dynamic shapes, `lax.dynamic_update_slice` writes).
+* QLoRA: frozen quantized base + trainable low-rank adapters, trained with
+  the 8-bit blockwise optimizers (reference QLoRA flow: autograd/_functions
+  .py:300-386 MatMul4Bit with no weight grad).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import autograd
+from ..functional.quant_state import QuantState
+from ..nn.modules import Int8TensorState, QuantizedTensor
+
+__all__ = [
+    "LlamaConfig",
+    "KVCache",
+    "init_params",
+    "init_kv_cache",
+    "forward",
+    "prefill",
+    "decode_step",
+    "quantize_params_4bit",
+    "quantize_params_int8",
+    "add_lora",
+    "lora_train_step",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    """Architecture hyperparameters (Llama-2/3 family)."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def llama3_8b(cls, num_layers: int = 32) -> "LlamaConfig":
+        return cls(num_layers=num_layers)
+
+    @classmethod
+    def llama2_7b(cls, num_layers: int = 32) -> "LlamaConfig":
+        return cls(
+            intermediate_size=11008,
+            num_kv_heads=32,
+            rope_theta=10000.0,
+            num_layers=num_layers,
+        )
+
+    @classmethod
+    def tiny(cls) -> "LlamaConfig":
+        """Test-size config; dims still satisfy the fused-kernel tiling
+        (K % 256 == 0, N % 128 == 0)."""
+        return cls(
+            vocab_size=512,
+            hidden_size=256,
+            intermediate_size=512,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=64,
+        )
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache: ``k``/``v`` are [L, B, S, KVH, hd]."""
+
+    k: jax.Array
+    v: jax.Array
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype=cfg.dtype), v=jnp.zeros(shape, dtype=cfg.dtype)
+    )
+
+
+def init_params(key: jax.Array, cfg: LlamaConfig) -> dict:
+    """Random fp init (for benchmarks/tests; real weights come from
+    checkpoint import)."""
+    D = cfg.hidden_size
+    H, KVH, hd, F = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.intermediate_size
+    keys = jax.random.split(key, cfg.num_layers + 2)
+
+    def dense(k, n, m):
+        return (jax.random.normal(k, (n, m), jnp.float32) * (m**-0.5)).astype(cfg.dtype)
+
+    def layer(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "attn_norm": jnp.ones((D,), cfg.dtype),
+            "wq": dense(ks[0], H * hd, D),
+            "wk": dense(ks[1], KVH * hd, D),
+            "wv": dense(ks[2], KVH * hd, D),
+            "wo": dense(ks[3], D, H * hd),
+            "mlp_norm": jnp.ones((D,), cfg.dtype),
+            "gate": dense(ks[4], F, D),
+            "up": dense(ks[5], F, D),
+            "down": dense(ks[6], D, F),
+        }
+
+    return {
+        "embed": dense(keys[0], cfg.vocab_size, D),
+        "layers": [layer(keys[i + 1]) for i in range(cfg.num_layers)],
+        "final_norm": jnp.ones((D,), cfg.dtype),
+        "lm_head": dense(keys[-1], cfg.vocab_size, D),
+    }
+
+
+_LINEAR_NAMES = ("wq", "wk", "wv", "wo", "gate", "up", "down")
+
+
+def quantize_params_4bit(
+    params: dict,
+    quant_type: str = "nf4",
+    blocksize: int = 64,
+    compress_statistics: bool = False,
+    quantize_lm_head: bool = False,
+    fuse: bool = False,
+) -> dict:
+    """Replace every layer linear weight with a packed 4-bit QuantizedTensor
+    (the `replace_linear` analog, reference utils.py:121-163; HF skips
+    lm_head by default — `llm_int8_skip_modules`).
+
+    ``fuse=True`` concatenates q/k/v into one ``wqkv`` weight and gate/up
+    into ``gate_up`` before quantizing (rows are independent quant blocks,
+    so fused quantization is bit-identical to separate): one fused
+    dequant+GEMM kernel launch instead of three/two on the decode path.
+    """
+
+    def q(W):
+        return QuantizedTensor.quantize(
+            jnp.asarray(W, jnp.float32),
+            blocksize=blocksize,
+            quant_type=quant_type,
+            compress_statistics=compress_statistics,
+        )
+
+    def qlayer(layer):
+        if not fuse:
+            return {k: (q(v) if k in _LINEAR_NAMES else v) for k, v in layer.items()}
+        out = {
+            "attn_norm": layer["attn_norm"],
+            "mlp_norm": layer["mlp_norm"],
+            "wqkv": q(jnp.concatenate([layer["wq"], layer["wk"], layer["wv"]], axis=0)),
+            "wo": q(layer["wo"]),
+            "gate_up": q(jnp.concatenate([layer["gate"], layer["up"]], axis=0)),
+            "down": q(layer["down"]),
+        }
+        return out
+
+    out = dict(params)
+    out["layers"] = [qlayer(layer) for layer in params["layers"]]
+    if quantize_lm_head:
+        out["lm_head"] = q(params["lm_head"])
+    return out
+
+
+def quantize_params_int8(params: dict, quantize_lm_head: bool = False) -> dict:
+    """Replace layer linear weights with LLM.int8() CB/SCB states."""
+
+    def q(W):
+        return Int8TensorState.quantize(jnp.asarray(W, jnp.float32))
+
+    out = dict(params)
+    out["layers"] = [
+        {k: (q(v) if k in _LINEAR_NAMES else v) for k, v in layer.items()}
+        for layer in params["layers"]
+    ]
+    if quantize_lm_head:
+        out["lm_head"] = q(params["lm_head"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _apply_linear(x, w, lora=None, threshold: float = 0.0):
+    """Dispatch on the weight leaf type; optionally add a LoRA delta."""
+    if isinstance(w, QuantizedTensor):
+        out = autograd.matmul_4bit(x, w.data, w.state)
+    elif isinstance(w, Int8TensorState):
+        state = autograd.MatmulLtState(CB=w.CB, SCB=w.SCB, threshold=threshold)
+        out = autograd.matmul(x, None, state)
+    else:
+        # dot_general contracting x's K with W[N, K]'s dim 1: no transpose
+        # materialization (w.T would copy the full weight every step).
+        out = jax.lax.dot_general(
+            x,
+            w.astype(x.dtype),
+            (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    if lora is not None:
+        # x @ A^T @ B^T * (alpha/r)   (QLoRA adapters; arXiv:2305.14314)
+        h = jnp.matmul(x, lora["a"].T.astype(x.dtype))
+        out = out + jnp.matmul(h, lora["b"].T.astype(x.dtype)) * lora["scale"]
+    return out
+
+
+def _rmsnorm(x, w, eps):
+    x32 = x.astype(jnp.float32)
+    rms = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (x32 * rms).astype(x.dtype) * w
+
+
+def _rope(x, positions, theta):
+    """x: [B, T, H, hd]; positions: [B, T] int32."""
+    hd = x.shape[-1]
+    freqs = theta ** (-jnp.arange(0, hd // 2, dtype=jnp.float32) / (hd // 2))
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [B, T, hd/2]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1).astype(
+        x.dtype
+    )
+
+
+def _attention(q, k, v, q_positions, kv_len_mask, cfg):
+    """q: [B, T, H, hd]; k/v: [B, S, KVH, hd]; kv_len_mask: [B, S] bool of
+    valid cache slots; q_positions: [B, T] absolute positions for causality.
+    """
+    B, T, H, hd = q.shape
+    S = k.shape[1]
+    groups = H // cfg.num_kv_heads
+    k = jnp.repeat(k, groups, axis=2)
+    v = jnp.repeat(v, groups, axis=2)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (hd**-0.5)
+    kv_positions = jnp.arange(S)[None, None, None, :]  # cache slot s holds pos s
+    causal = kv_positions <= q_positions[:, None, :, None]
+    mask = causal & kv_len_mask[:, None, None, :]
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v)
+    return out.reshape(B, T, H * hd)
+
+
+def forward(
+    params: dict,
+    ids: jax.Array,
+    cfg: LlamaConfig,
+    cache: Optional[KVCache] = None,
+    start_pos: int | jax.Array = 0,
+    lora: Optional[dict] = None,
+    int8_threshold: float = 0.0,
+):
+    """Run the transformer over ``ids`` [B, T].
+
+    Without a cache this is a plain causal forward (training / one-shot
+    prefill).  With a cache, K/V for these positions are written at
+    ``start_pos`` and attention runs against the whole cache (serving).
+    Returns ``(logits [B, T, V], new_cache)``.
+    """
+    B, T = ids.shape
+    H, KVH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = jnp.take(params["embed"], ids, axis=0).astype(cfg.dtype)
+    positions = start_pos + jnp.arange(T)[None, :]
+    positions = jnp.broadcast_to(positions, (B, T))
+
+    new_k, new_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        l_lora = lora["layers"][li] if lora is not None else {}
+        h = _rmsnorm(x, layer["attn_norm"], cfg.rms_eps)
+        if "wqkv" in layer:
+            qkv = _apply_linear(h, layer["wqkv"], None, int8_threshold)
+            q, k, v = jnp.split(qkv, [H * hd, (H + KVH) * hd], axis=-1)
+            q = q.reshape(B, T, H, hd)
+            k = k.reshape(B, T, KVH, hd)
+            v = v.reshape(B, T, KVH, hd)
+        else:
+            q = _apply_linear(h, layer["wq"], l_lora.get("wq"), int8_threshold).reshape(B, T, H, hd)
+            k = _apply_linear(h, layer["wk"], l_lora.get("wk"), int8_threshold).reshape(B, T, KVH, hd)
+            v = _apply_linear(h, layer["wv"], l_lora.get("wv"), int8_threshold).reshape(B, T, KVH, hd)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+
+        if cache is not None:
+            ck = jax.lax.dynamic_update_slice(
+                cache.k[li], k.astype(cache.k.dtype), (0, start_pos, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cache.v[li], v.astype(cache.v.dtype), (0, start_pos, 0, 0)
+            )
+            new_k.append(ck)
+            new_v.append(cv)
+            S = ck.shape[1]
+            valid = jnp.arange(S)[None, :] < (start_pos + T)
+            valid = jnp.broadcast_to(valid, (B, S))
+            attn = _attention(q, ck.astype(q.dtype), cv.astype(q.dtype), positions, valid, cfg)
+        else:
+            valid = jnp.ones((B, T), dtype=bool)
+            attn = _attention(q, k, v, positions, valid, cfg)
+
+        x = x + _apply_linear(attn, layer["wo"], l_lora.get("wo"), int8_threshold)
+
+        h = _rmsnorm(x, layer["mlp_norm"], cfg.rms_eps)
+        if "gate_up" in layer:
+            gu = _apply_linear(h, layer["gate_up"], None, int8_threshold)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = _apply_linear(h, layer["gate"], l_lora.get("gate"), int8_threshold)
+            up = _apply_linear(h, layer["up"], l_lora.get("up"), int8_threshold)
+        x = x + _apply_linear(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
+            layer["down"],
+            l_lora.get("down"),
+            int8_threshold,
+        )
+
+    x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = _apply_linear(x, params["lm_head"], threshold=int8_threshold)
+    if cache is not None:
+        return logits.astype(jnp.float32), KVCache(jnp.stack(new_k), jnp.stack(new_v))
+    return logits.astype(jnp.float32), None
+
+
+def prefill(params, ids, cfg, cache, lora=None):
+    return forward(params, ids, cfg, cache=cache, start_pos=0, lora=lora)
+
+
+def decode_step(params, token, cfg, cache, pos, lora=None):
+    """One decode step: ``token`` [B] at absolute position ``pos`` (traced
+    scalar).  Returns (logits [B, V], new_cache).  This is THE hot serving
+    path — every linear hits the fused Pallas dequant+GEMV."""
+    logits, cache = forward(
+        params, token[:, None], cfg, cache=cache, start_pos=pos, lora=lora
+    )
+    return logits[:, 0], cache
+
+
+# ---------------------------------------------------------------------------
+# QLoRA training
+# ---------------------------------------------------------------------------
+
+
+def add_lora(
+    key: jax.Array,
+    cfg: LlamaConfig,
+    rank: int = 8,
+    alpha: float = 16.0,
+    targets: tuple = ("wq", "wk", "wv", "wo"),
+) -> dict:
+    """Create a LoRA adapter tree matching the model layout (QLoRA,
+    arXiv:2305.14314 — the training story for frozen 4-bit weights;
+    reference MatMul4Bit computes no weight grad, autograd/_functions.py:
+    364-386, so adapters are what trains)."""
+    D, F = cfg.hidden_size, cfg.intermediate_size
+    H, KVH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    dims = {
+        "wq": (H * hd, D),
+        "wk": (KVH * hd, D),
+        "wv": (KVH * hd, D),
+        "wo": (D, H * hd),
+        "gate": (F, D),
+        "up": (F, D),
+        "down": (D, F),
+    }
+    keys = jax.random.split(key, cfg.num_layers)
+
+    def layer(k):
+        out = {}
+        for i, name in enumerate(targets):
+            n, m = dims[name]
+            ka = jax.random.fold_in(k, i)
+            out[name] = {
+                "a": jax.random.normal(ka, (rank, m), jnp.float32) * (m**-0.5),
+                "b": jnp.zeros((n, rank), jnp.float32),
+                "scale": jnp.asarray(alpha / rank, jnp.float32),
+            }
+        return out
+
+    return {"layers": [layer(keys[i]) for i in range(cfg.num_layers)]}
+
+
+def lm_loss(params, lora, ids, cfg):
+    """Next-token cross-entropy over ids [B, T+1]."""
+    logits, _ = forward(params, ids[:, :-1], cfg, lora=lora)
+    targets = ids[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return nll.mean()
+
+
+def lora_train_step(params, lora, opt_state, ids, cfg, optimizer):
+    """One QLoRA step: grads flow only into the adapters; the 4-bit base is
+    frozen (matching reference MatMul4Bit semantics)."""
+    loss, grads = jax.value_and_grad(lambda lo: lm_loss(params, lo, ids, cfg))(lora)
+    updates, opt_state = optimizer.update(grads, opt_state, lora)
+    import optax
+
+    lora = optax.apply_updates(lora, updates)
+    return loss, lora, opt_state

@@ -28,11 +28,13 @@ import jax.numpy as jnp
 __all__ = ["device_loop_time", "sol_fraction"]
 
 
-def _make_loop(fn: Callable, n_args: int, iters: int):
+def _make_loop(fn: Callable, n_const: int, iters: int):
     @jax.jit
-    def loop(*args):
+    def loop(*all_args):
+        const, args = all_args[:n_const], all_args[n_const:]
+
         def body(i, carry):
-            out = fn(*carry)
+            out = fn(*const, *carry)
             leaf = jax.tree_util.tree_leaves(out)[0]
             dep = leaf.astype(jnp.float32).ravel()[0]
             # Exact zero that XLA cannot constant-fold (it cannot prove the
@@ -43,8 +45,11 @@ def _make_loop(fn: Callable, n_args: int, iters: int):
             def perturb(a):
                 return a + zero.astype(a.dtype)
             # Every argument depends on the previous iteration's output, so
-            # XLA cannot hoist any part of fn out of the loop.
-            return tuple(perturb(a) for a in args)
+            # XLA cannot hoist any part of fn out of the loop.  Args may be
+            # arbitrary pytrees (e.g. whole param trees — pass weights as
+            # args, NOT closed over: closure constants are baked into the
+            # compiled program, which is catastrophic for multi-GB weights).
+            return tuple(jax.tree_util.tree_map(perturb, a) for a in args)
 
         final = jax.lax.fori_loop(0, iters, body, tuple(args))
         return jax.tree_util.tree_leaves(final)[0].ravel()[0]
@@ -58,17 +63,27 @@ def device_loop_time(
     iters: int = 200,
     warmup: int = 1,
     repeats: int = 2,
+    const_args: Sequence = (),
 ) -> float:
-    """Median marginal seconds per call of ``fn(*args)`` measured on-device.
+    """Median marginal seconds per call of ``fn(*const_args, *args)``
+    measured on-device.
 
     Runs loops of ``iters`` and ``4*iters`` iterations; the reported time is
     ``(T_long - T_short) / (3*iters)``, which cancels fixed overheads.
+
+    ``const_args`` are loop-invariant (e.g. weight trees): they are read by
+    every iteration but not perturbed/copied (perturbing a multi-GB weight
+    tree would add a full copy per iteration to the measurement).  They are
+    passed as jit *arguments*, never closed over — closure constants get
+    baked into the program (multi-GB constant uploads).  Only put values in
+    ``const_args`` whose weight-only preprocessing (if any) may legitimately
+    be hoisted out of the loop.
     """
-    short = _make_loop(fn, len(args), iters)
-    long = _make_loop(fn, len(args), 4 * iters)
+    short = _make_loop(fn, len(const_args), iters)
+    long = _make_loop(fn, len(const_args), 4 * iters)
 
     def run(loop):
-        return float(loop(*args))  # value readback forces completion
+        return float(loop(*const_args, *args))  # value readback forces completion
 
     for _ in range(warmup):
         run(short)

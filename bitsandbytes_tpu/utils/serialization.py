@@ -1,0 +1,250 @@
+"""Checkpoint (de)serialization for quantized param trees.
+
+Follows the reference's serialized-quant-state conventions so checkpoints
+interoperate with bitsandbytes/HF-Transformers formats:
+
+* a 4-bit weight serializes as ``{key}`` (packed payload) plus component
+  tensors ``{key}.absmax``, ``{key}.quant_map``, ``{key}.nested_absmax``,
+  ``{key}.nested_quant_map`` and a JSON-in-uint8 metadata tensor
+  ``{key}.quant_state.bitsandbytes__{nf4|fp4}`` (reference
+  functional.py:493-578 `QuantState.as_dict(packed=True)`,
+  utils.py:166-197 `pack_dict_to_tensor`, nn/modules.py:355-379
+  `Params4bit.from_prequantized`).
+* an LLM.int8() weight serializes as ``{key}`` (int8 CB) + ``{key}.SCB``
+  (reference Linear8bitLt state-dict handling, nn/modules.py:1095-1157).
+* everything else serializes as a plain array under its tree path.
+
+The flat dict of numpy arrays can be written with orbax, np.savez, or
+safetensors — any tensor-dict container.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..functional.quant_state import QuantState
+from ..nn.modules import Int8TensorState, QuantizedTensor
+
+__all__ = [
+    "state_dict_from_params",
+    "params_from_state_dict",
+    "save_checkpoint",
+    "load_checkpoint",
+    "import_hf_llama",
+]
+
+
+def _is_q(x):
+    return isinstance(x, (QuantizedTensor, Int8TensorState))
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return ".".join(parts)
+
+
+def _np_safe(a) -> np.ndarray:
+    """numpy array in a dtype plain numpy containers can round-trip.
+    bf16/fp8 (ml_dtypes) widen losslessly to float32."""
+    a = np.asarray(a)
+    if a.dtype.kind == "V" or a.dtype.name in ("bfloat16", "float8_e4m3fn", "float8_e5m2"):
+        return a.astype(np.float32)
+    return a
+
+
+def state_dict_from_params(params: Any) -> dict:
+    """Flatten a (possibly quantized) param tree to ``{name: np.ndarray}``."""
+    out = {}
+
+    def visit(path, leaf):
+        key = _path_str(path)
+        if isinstance(leaf, QuantizedTensor):
+            out[key] = _np_safe(leaf.data)
+            for comp, arr in leaf.state.as_dict(packed=True).items():
+                out[f"{key}.{comp}"] = _np_safe(arr)
+        elif isinstance(leaf, Int8TensorState):
+            out[key] = _np_safe(leaf.CB)
+            out[f"{key}.SCB"] = _np_safe(leaf.SCB)
+        elif leaf is not None:
+            out[key] = _np_safe(leaf)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, params, is_leaf=_is_q)
+    return out
+
+
+_QS_META = re.compile(r"\.quant_state\.bitsandbytes__(nf4|fp4|int4|af4|8bit)$")
+
+
+def params_from_state_dict(sd: dict, template: Optional[Any] = None) -> Any:
+    """Rebuild a param tree from a flat state dict.
+
+    With ``template`` (a pytree of the same structure, e.g. from
+    ``init_params`` + ``quantize_params_*``), leaves are rebuilt to the
+    template's leaf types and tree structure.  Without one, returns a flat
+    ``{name: array-or-QuantizedTensor-or-Int8TensorState}`` dict with
+    component keys folded in.
+    """
+    folded = _fold_components(sd)
+    if template is None:
+        return folded
+
+    def rebuild(path, leaf):
+        key = _path_str(path)
+        if key not in folded:
+            raise KeyError(f"checkpoint missing {key!r}")
+        val = folded[key]
+        if isinstance(leaf, QuantizedTensor):
+            if not isinstance(val, QuantizedTensor):
+                raise TypeError(f"{key!r}: expected quantized leaf in checkpoint")
+            return val
+        if isinstance(leaf, Int8TensorState):
+            if not isinstance(val, Int8TensorState):
+                raise TypeError(f"{key!r}: expected int8 leaf in checkpoint")
+            return val
+        return jnp.asarray(val, dtype=leaf.dtype).reshape(leaf.shape)
+
+    return jax.tree_util.tree_map_with_path(rebuild, template, is_leaf=_is_q)
+
+
+def _fold_components(sd: dict) -> dict:
+    """Group ``{key}.absmax``-style component tensors into QuantizedTensor /
+    Int8TensorState values keyed by their base name."""
+    sd = dict(sd)
+    out = {}
+    # 4-bit: find meta tensors first
+    quant_bases = {}
+    for k in list(sd):
+        m = _QS_META.search(k)
+        if m:
+            base = k[: m.start()]
+            quant_bases[base] = k
+    comp_names = (
+        "absmax",
+        "quant_map",
+        "nested_absmax",
+        "nested_quant_map",
+    )
+    for base, meta_key in quant_bases.items():
+        # component name, e.g. "quant_state.bitsandbytes__nf4"
+        comp = {meta_key[len(base) + 1 :]: sd.pop(meta_key)}
+        for name in comp_names:
+            k = f"{base}.{name}"
+            if k in sd:
+                comp[name] = sd.pop(k)
+        state = QuantState.from_dict(comp)
+        out[base] = QuantizedTensor(data=jnp.asarray(sd.pop(base)), state=state)
+    # int8: CB + SCB
+    for k in list(sd):
+        if k.endswith(".SCB"):
+            base = k[: -len(".SCB")]
+            if base in sd:
+                out[base] = Int8TensorState(
+                    CB=jnp.asarray(sd.pop(base)), SCB=jnp.asarray(sd.pop(k))
+                )
+                sd.pop(k, None)
+    out.update(sd)
+    return out
+
+
+def save_checkpoint(path: str, params: Any) -> None:
+    """Write a param tree to an ``.npz`` checkpoint."""
+    np.savez(path, **state_dict_from_params(params))
+
+
+def load_checkpoint(path: str, template: Optional[Any] = None) -> Any:
+    with np.load(path, allow_pickle=False) as z:
+        sd = {k: z[k] for k in z.files}
+    return params_from_state_dict(sd, template)
+
+
+# ---------------------------------------------------------------------------
+# HF Transformers interop
+# ---------------------------------------------------------------------------
+
+_HF_LLAMA_MAP = {
+    "self_attn.q_proj": "wq",
+    "self_attn.k_proj": "wk",
+    "self_attn.v_proj": "wv",
+    "self_attn.o_proj": "wo",
+    "mlp.gate_proj": "gate",
+    "mlp.up_proj": "up",
+    "mlp.down_proj": "down",
+    "input_layernorm": "attn_norm",
+    "post_attention_layernorm": "mlp_norm",
+}
+
+
+def import_hf_llama(
+    hf_state_dict: dict,
+    cfg,
+    quantize: Optional[Callable] = None,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Map an HF-Transformers Llama state dict (torch or numpy tensors,
+    standard `model.layers.N.self_attn.q_proj.weight` naming) onto the
+    :mod:`bitsandbytes_tpu.models.llama` param tree.
+
+    ``quantize``: optional per-weight hook, e.g.
+    ``lambda W: QuantizedTensor.quantize(W, quant_type='nf4')`` — the analog
+    of loading with ``load_in_4bit=True`` (reference
+    examples/int8_inference_huggingface.py:11-15).
+    """
+
+    def to_np(t):
+        if hasattr(t, "detach"):  # torch tensor
+            t = t.detach().to("cpu")
+            if t.dtype.__str__() == "torch.bfloat16":
+                t = t.float()
+            t = t.numpy()
+        return np.asarray(t)
+
+    sd = {k: v for k, v in hf_state_dict.items()}
+
+    def get(name):
+        for prefix in ("model.", ""):
+            k = prefix + name
+            if k in sd:
+                return to_np(sd[k])
+        raise KeyError(name)
+
+    def linear(name):
+        W = get(name + ".weight")
+        if quantize is not None:
+            return quantize(jnp.asarray(W, jnp.float32))
+        return jnp.asarray(W, dtype)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        layer = {}
+        for hf_name, ours in _HF_LLAMA_MAP.items():
+            full = f"layers.{i}.{hf_name}"
+            if ours.endswith("norm"):
+                layer[ours] = jnp.asarray(get(full + ".weight"), dtype)
+            else:
+                layer[ours] = linear(full)
+        layers.append(layer)
+
+    embed = jnp.asarray(get("embed_tokens.weight"), dtype)
+    try:
+        lm_head = jnp.asarray(to_np(sd["lm_head.weight"]), dtype)
+    except KeyError:  # tied embeddings
+        lm_head = embed
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": jnp.asarray(get("norm.weight"), dtype),
+        "lm_head": lm_head,
+    }

@@ -18,6 +18,9 @@ if os.environ.get("BNB_TEST_DEVICE", "cpu") == "cpu":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # jax 0.9 + the axon PJRT plugin ignores --xla_force_host_platform_
+    # device_count; the config knob is what actually works.
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

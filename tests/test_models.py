@@ -1,0 +1,108 @@
+"""Llama-family model tests: quantized forward fidelity, KV-cache decode
+consistency, QLoRA training (the SURVEY.md §4 e2e-generation analog,
+reference tests/test_generation.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bitsandbytes_tpu.models import llama as L
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = L.LlamaConfig.tiny()
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    return cfg, params, ids
+
+
+def test_quantized_forward_close_to_fp(setup):
+    cfg, params, ids = setup
+    lf, _ = L.forward(params, ids, cfg)
+    for qparams in (
+        L.quantize_params_4bit(params),
+        L.quantize_params_4bit(params, compress_statistics=True),
+        L.quantize_params_int8(params),
+    ):
+        lq, _ = L.forward(qparams, ids, cfg)
+        corr = np.corrcoef(np.asarray(lf).ravel(), np.asarray(lq).ravel())[0, 1]
+        assert corr > 0.9, corr
+
+
+def test_decode_cache_consistency(setup):
+    """Logits from cached decode must match the uncached full forward."""
+    cfg, params, ids = setup
+    qparams = L.quantize_params_4bit(params)
+    cache = L.init_kv_cache(cfg, 2, 32)
+    logits, cache = L.prefill(qparams, ids, cfg, cache)
+    tok = jnp.argmax(logits[:, -1], -1)
+    lg, cache = L.decode_step(qparams, tok, cfg, cache, jnp.asarray(16))
+    ids2 = jnp.concatenate([ids, tok[:, None]], axis=1)
+    lfull, _ = L.forward(qparams, ids2, cfg)
+    np.testing.assert_allclose(
+        np.asarray(lg), np.asarray(lfull[:, 16]), atol=0.05, rtol=0.05
+    )
+
+
+def test_decode_step_jits(setup):
+    cfg, params, _ = setup
+    qparams = L.quantize_params_4bit(params)
+    cache = L.init_kv_cache(cfg, 2, 32)
+    step = jax.jit(lambda p, t, c, pos: L.decode_step(p, t, cfg, c, pos))
+    tok = jnp.zeros((2,), jnp.int32)
+    lg, cache = step(qparams, tok, cache, jnp.asarray(0))
+    lg2, cache = step(qparams, jnp.argmax(lg, -1), cache, jnp.asarray(1))
+    assert lg2.shape == (2, cfg.vocab_size)
+    assert np.isfinite(np.asarray(lg2)).all()
+
+
+def test_int8_threshold_forward(setup):
+    cfg, params, ids = setup
+    qparams = L.quantize_params_int8(params)
+    lq, _ = L.forward(qparams, ids, cfg, int8_threshold=6.0)
+    assert np.isfinite(np.asarray(lq)).all()
+
+
+def test_qlora_training_reduces_loss(setup):
+    cfg, params, _ = setup
+    from bitsandbytes_tpu import optim
+
+    qparams = L.quantize_params_4bit(params)
+    lora = L.add_lora(jax.random.PRNGKey(3), cfg, rank=4)
+    opt = optim.adamw8bit(5e-3)
+    ost = opt.init(lora)
+    ids = jax.random.randint(jax.random.PRNGKey(4), (4, 17), 0, cfg.vocab_size)
+    ts = jax.jit(lambda p, lo, o, i: L.lora_train_step(p, lo, o, i, cfg, opt))
+    losses = []
+    for _ in range(5):
+        loss, lora, ost = ts(qparams, lora, ost, ids)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    # base weights are untouched by construction (lora tree is separate)
+
+
+def test_lora_grads_dont_touch_base(setup):
+    """The 4-bit base is frozen: no gradient path exists into the packed
+    payload or absmax (reference MatMul4Bit has no weight grad,
+    autograd/_functions.py:364-386)."""
+    cfg, params, _ = setup
+    qparams = L.quantize_params_4bit(params)
+    lora = L.add_lora(jax.random.PRNGKey(3), cfg, rank=2)
+    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 9), 0, cfg.vocab_size)
+    g = jax.grad(lambda lo: L.lm_loss(qparams, lo, ids, cfg))(lora)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_fused_projection_layout_matches(setup):
+    """fuse=True (wqkv / gate_up) is numerically identical to per-projection
+    quantization (rows own whole quant blocks, so concatenation commutes
+    with quantization)."""
+    cfg, params, ids = setup
+    q1 = L.quantize_params_4bit(params)
+    q2 = L.quantize_params_4bit(params, fuse=True)
+    l1, _ = L.forward(q1, ids, cfg)
+    l2, _ = L.forward(q2, ids, cfg)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=0.05, rtol=0.05)

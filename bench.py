@@ -83,8 +83,14 @@ def main():
         qlayers.append(qlayer)
     qparams["layers"] = qlayers
 
-    bf16_tok_s = _time_decode(params, cfg, bs, cache_len, iters)
-    nf4_tok_s = _time_decode(qparams, cfg, 2 * bs, cache_len, iters)
+    # The shared TPU pool fluctuates ~2x over minutes and hits the
+    # VPU-bound NF4 kernels harder than the DMA-bound bf16 path; interleave
+    # the two measurements and take each variant's best to compare like
+    # against like.
+    bf16_tok_s, nf4_tok_s = 0.0, 0.0
+    for _ in range(2):
+        bf16_tok_s = max(bf16_tok_s, _time_decode(params, cfg, bs, cache_len, iters))
+        nf4_tok_s = max(nf4_tok_s, _time_decode(qparams, cfg, 2 * bs, cache_len, iters))
 
     ratio = nf4_tok_s / bf16_tok_s
     print(

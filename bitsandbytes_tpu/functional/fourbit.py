@@ -204,11 +204,18 @@ def quantize_4bit(
         )
 
     storage = _storage_dtype(quant_storage)
+    elems = QUANT_STORAGE_BITS[storage] // 8
     if storage != jnp.dtype(jnp.uint8):
-        elems = QUANT_STORAGE_BITS[storage] // 8
         packed = jax.lax.bitcast_convert_type(
             packed.reshape(-1, elems), storage
         ).reshape(-1, 1)
+    if layout == "2d":
+        # [N, K/2/elems]: the TPU-native layout.  The flat [(n)//2, 1] shape
+        # has a degenerate tiled device layout, and reshaping it to 2-D costs
+        # a full relayout copy on EVERY kernel call (measured 2x on decode
+        # matmuls); storing 2-D makes the kernel's view a no-op.
+        N_ = A.shape[0]
+        packed = packed.reshape(N_, -1)
     return packed, state
 
 

@@ -77,12 +77,20 @@ class QuantizedTensor:
         compress_statistics: bool = False,
         quant_storage=jnp.uint8,
     ) -> "QuantizedTensor":
+        # Prefer the TPU-native 2-D payload layout: the flat [(n)//2, 1]
+        # interop shape costs a relayout copy per kernel call (2x on decode).
+        layout = (
+            "2d"
+            if W.ndim == 2 and W.shape[-1] % blocksize == 0 and W.shape[-1] % 2 == 0
+            else "flat"
+        )
         packed, state = quantize_4bit(
             W,
             blocksize=blocksize,
             quant_type=quant_type,
             compress_statistics=compress_statistics,
             quant_storage=quant_storage,
+            layout=layout,
         )
         return cls(data=packed, state=state)
 

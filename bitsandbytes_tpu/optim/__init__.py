@@ -15,8 +15,21 @@ import functools
 
 from .base import BnbOptimizerState, make_optimizer
 from .paged import paged_state_sharding, to_host
+from .overrides import (
+    STABLE_EMBEDDING_RULE,
+    make_optimizer_with_overrides,
+    path_labels,
+)
 
-__all__ = ["make_optimizer", "BnbOptimizerState", "paged_state_sharding", "to_host"]
+__all__ = [
+    "make_optimizer",
+    "BnbOptimizerState",
+    "paged_state_sharding",
+    "to_host",
+    "make_optimizer_with_overrides",
+    "STABLE_EMBEDDING_RULE",
+    "path_labels",
+]
 
 
 def _family(name, fname, *, beta1=0.9, beta2=0.999, eps=1e-8, weight_decay=0.0, lr=1e-3, **extra):

@@ -71,7 +71,9 @@ def state_dict_from_params(params: Any) -> dict:
     def visit(path, leaf):
         key = _path_str(path)
         if isinstance(leaf, QuantizedTensor):
-            out[key] = _np_safe(leaf.data)
+            # checkpoint interop uses the reference-canonical flat
+            # [(n+1)//2, 1] payload shape (reference backends/cuda/ops.py:392)
+            out[key] = _np_safe(leaf.data).reshape(-1, 1)
             for comp, arr in leaf.state.as_dict(packed=True).items():
                 out[f"{key}.{comp}"] = _np_safe(arr)
         elif isinstance(leaf, Int8TensorState):
@@ -145,7 +147,18 @@ def _fold_components(sd: dict) -> dict:
             if k in sd:
                 comp[name] = sd.pop(k)
         state = QuantState.from_dict(comp)
-        out[base] = QuantizedTensor(data=jnp.asarray(sd.pop(base)), state=state)
+        data = np.asarray(sd.pop(base))
+        # restore the TPU-native 2-D payload layout when rows own whole
+        # quantization blocks (mirrors QuantizedTensor.quantize)
+        shp = state.shape
+        if (
+            len(shp) == 2
+            and shp[1] % state.blocksize == 0
+            and shp[1] % 2 == 0
+            and data.size % shp[0] == 0
+        ):
+            data = data.reshape(shp[0], -1)
+        out[base] = QuantizedTensor(data=jnp.asarray(data), state=state)
     # int8: CB + SCB
     for k in list(sd):
         if k.endswith(".SCB"):

@@ -87,10 +87,13 @@ def main():
     # VPU-bound NF4 kernels harder than the DMA-bound bf16 path; interleave
     # the two measurements and take each variant's best to compare like
     # against like.
-    bf16_tok_s, nf4_tok_s = 0.0, 0.0
+    q8params = L.quantize_params_int8(params)
+    jax.block_until_ready(jax.tree_util.tree_leaves(q8params))
+    bf16_tok_s, nf4_tok_s, int8_tok_s = 0.0, 0.0, 0.0
     for _ in range(2):
         bf16_tok_s = max(bf16_tok_s, _time_decode(params, cfg, bs, cache_len, iters))
         nf4_tok_s = max(nf4_tok_s, _time_decode(qparams, cfg, 2 * bs, cache_len, iters))
+        int8_tok_s = max(int8_tok_s, _time_decode(q8params, cfg, 2 * bs, cache_len, iters))
 
     ratio = nf4_tok_s / bf16_tok_s
     print(
@@ -103,6 +106,8 @@ def main():
                 "detail": {
                     "bf16_tok_s": round(bf16_tok_s, 2),
                     "nf4_tok_s_2xbatch": round(nf4_tok_s, 2),
+                    "int8_tok_s_2xbatch": round(int8_tok_s, 2),
+                    "int8_ratio_2xbatch": round(int8_tok_s / bf16_tok_s, 4),
                     "num_layers": num_layers,
                     "batch_bf16": bs,
                     "batch_nf4": 2 * bs,

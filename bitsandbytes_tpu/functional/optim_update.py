@@ -214,11 +214,6 @@ def optimizer_update_32bit(
     return new_p, new_s1, new_s2
 
 
-@partial(
-    jax.jit,
-    static_argnums=(0,),
-    static_argnames=("weight_decay",),
-)
 def optimizer_update_8bit_blockwise(
     optimizer_name: str,
     g: jax.Array,
@@ -251,7 +246,92 @@ def optimizer_update_8bit_blockwise(
     zero the states for non-finite gradients).
 
     Returns ``(new_p, new_state1, new_state2, new_absmax1, new_absmax2)``.
+
+    On TPU this routes to the fused Pallas kernel
+    (ops/pallas/optim8bit.py) — XLA lowers the 256-entry LUT gathers of the
+    jnp tier to a scalar path measured ~230x slower than the kernel's
+    select-tree/compare-rank formulation.  The qmaps must be concrete
+    (non-traced) arrays on the Pallas path — they are baked into the kernel
+    as compile-time constants.
     """
+    from ..ops import dispatch
+
+    if dispatch.use_pallas() and not isinstance(
+        jnp.asarray(qmap1), jax.core.Tracer
+    ):
+        from ..ops.pallas.optim8bit import (
+            optimizer_update_8bit_pallas,
+            pallas_optim8bit_supported,
+        )
+
+        if pallas_optim8bit_supported(optimizer_name):
+            return optimizer_update_8bit_pallas(
+                optimizer_name,
+                g,
+                p,
+                state1,
+                state2,
+                qmap1,
+                qmap2,
+                absmax1,
+                absmax2,
+                beta1=beta1,
+                beta2=beta2,
+                eps=eps,
+                weight_decay=weight_decay,
+                step=step,
+                lr=lr,
+                gnorm_scale=gnorm_scale,
+            )
+    return _optimizer_update_8bit_jnp(
+        optimizer_name,
+        g,
+        p,
+        state1,
+        state2,
+        qmap1,
+        qmap2,
+        absmax1,
+        absmax2,
+        beta1=beta1,
+        beta2=beta2,
+        beta3=beta3,
+        alpha=alpha,
+        eps=eps,
+        weight_decay=weight_decay,
+        step=step,
+        lr=lr,
+        gnorm_scale=gnorm_scale,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("weight_decay",),
+)
+def _optimizer_update_8bit_jnp(
+    optimizer_name: str,
+    g: jax.Array,
+    p: jax.Array,
+    state1: jax.Array,
+    state2: Optional[jax.Array],
+    qmap1: jax.Array,
+    qmap2: Optional[jax.Array],
+    absmax1: jax.Array,
+    absmax2: Optional[jax.Array],
+    *,
+    beta1: float,
+    beta2: float,
+    beta3: float = 0.0,
+    alpha: float = 0.0,
+    eps: float,
+    weight_decay: float = 0.0,
+    step,
+    lr,
+    gnorm_scale: float = 1.0,
+):
+    """Pure-jnp tier (the oracle; see the public wrapper's docstring)."""
     bs = BLOCKSIZE_8BIT_STATE
     p_dtype = p.dtype
 

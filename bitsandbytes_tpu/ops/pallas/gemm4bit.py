@@ -79,18 +79,21 @@ def _block_expander(nb: int, TKh: int, sb: int):
 
 
 def _broadcast_scale(scale_t, TKh: int, sb: int):
-    """[nb, TN] transposed per-block scales -> [TN, TKh] per-byte scales."""
+    """[nb, TN] transposed per-block scales -> [TN, TKh] per-byte scales.
+
+    The expander E is one-hot, so each output is a single product — no
+    accumulation.  Splitting the f32 scale into bf16 hi + bf16 lo residual
+    and summing two DEFAULT-precision one-hot matmuls reconstructs the f32
+    value exactly (up to the final add's rounding), at ~1/3 the MXU passes
+    of a HIGHEST-precision f32 matmul."""
     nb = scale_t.shape[0]
-    E = _block_expander(nb, TKh, sb)
-    # HIGHEST precision: the MXU's default f32 path truncates to bf16
-    # mantissas, which would perturb the scales; this matmul is tiny.
-    return jax.lax.dot_general(
-        scale_t,
-        E,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    E = _block_expander(nb, TKh, sb).astype(jnp.bfloat16)
+    dims = (((0,), (0,)), ((), ()))
+    hi = scale_t.astype(jnp.bfloat16)
+    lo = (scale_t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(hi, E, dims, preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(lo, E, dims, preferred_element_type=jnp.float32)
+    return out
 
 
 def _gemm4bit_kernel(a_even_ref, a_odd_ref, bp_ref, scale_ref, out_ref, *, code, blocksize, n_k):

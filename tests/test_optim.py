@@ -193,3 +193,38 @@ def test_optimizer_under_jit_scan():
     (p, s), _ = jax.lax.scan(step, (params, state), None, length=3)
     assert np.isfinite(np.asarray(p["w"])).all()
     assert int(s.step) == 3
+
+
+def test_pallas_8bit_kernel_matches_oracle():
+    """The fused Pallas 8-bit optimizer kernel (interpret mode on CPU) is
+    bit-exact vs the jnp oracle for the uint8 states and within 1 ulp for
+    params (SURVEY.md §4 oracle pattern)."""
+    import numpy as np
+    from bitsandbytes_tpu.functional.optim_update import _optimizer_update_8bit_jnp
+    from bitsandbytes_tpu.ops.pallas.optim8bit import optimizer_update_8bit_pallas
+    from bitsandbytes_tpu.functional.codebooks import create_dynamic_map
+    from bitsandbytes_tpu.functional.blockwise import quantize_blockwise_with_code
+
+    qmap1 = jnp.asarray(create_dynamic_map(True))
+    qmap2 = jnp.asarray(create_dynamic_map(False))
+    n = 2048 + 100  # exercises padding
+    p = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32) * 0.01
+    g = g.at[7].set(jnp.nan)  # NaN-skip semantics (kernels.cu:1017)
+    m = jax.random.normal(jax.random.PRNGKey(2), (n,)) * 0.01
+    v = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (n,))) * 1e-4
+    s1, am1 = quantize_blockwise_with_code(m, qmap1, 256)
+    s2, am2 = quantize_blockwise_with_code(v, qmap2, 256)
+
+    kw = dict(beta1=0.9, beta2=0.999, eps=1e-8, weight_decay=1e-2, step=3, lr=1e-3)
+    ref = _optimizer_update_8bit_jnp("adam", g, p, s1, s2, qmap1, qmap2, am1, am2, **kw)
+    out = optimizer_update_8bit_pallas("adam", g, p, s1, s2, qmap1, qmap2, am1, am2, **kw)
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(out[0]), atol=3e-7)
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+    np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(out[2]))
+
+    kwl = dict(beta1=0.9, beta2=0.99, eps=0.0, weight_decay=0.0, step=1, lr=1e-4)
+    refl = _optimizer_update_8bit_jnp("lion", g, p, s1, None, qmap1, None, am1, None, **kwl)
+    outl = optimizer_update_8bit_pallas("lion", g, p, s1, None, qmap1, None, am1, None, **kwl)
+    np.testing.assert_allclose(np.asarray(refl[0]), np.asarray(outl[0]), atol=3e-7)
+    np.testing.assert_array_equal(np.asarray(refl[1]), np.asarray(outl[1]))

@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .codebooks import create_dynamic_map
 from .quant_state import QuantState
@@ -85,6 +86,43 @@ def dequantize_blockwise_with_code(
     return out.reshape(-1)[:n].reshape(A.shape).astype(dtype)
 
 
+def _pallas_ok(code, n, blocksize) -> bool:
+    """Route to the select-tree Pallas kernels on TPU: XLA's 256-entry LUT
+    gather lowering is ~1000x too slow (measured 655 ms per 64M-element
+    dequant on v5e).  Requires a concrete (non-traced) codebook."""
+    import jax.core
+
+    from ..ops import dispatch
+    from ..ops.pallas.blockwise8 import pallas_blockwise8_supported
+
+    return (
+        dispatch.use_pallas()
+        and not isinstance(jnp.asarray(code), jax.core.Tracer)
+        and n % blocksize == 0
+        and pallas_blockwise8_supported(n, blocksize)
+    )
+
+
+def _quantize_dispatch(A, code, blocksize):
+    if _pallas_ok(code, A.size, blocksize):
+        from ..ops.pallas.blockwise8 import quantize_blockwise_pallas
+
+        code_t = tuple(float(x) for x in np.asarray(code).reshape(-1)[:256])
+        return quantize_blockwise_pallas(A, code_t=code_t, blocksize=blocksize)
+    return quantize_blockwise_with_code(A, code, blocksize)
+
+
+def _dequantize_dispatch(A, absmax, code, blocksize, dtype):
+    if _pallas_ok(code, A.size, blocksize):
+        from ..ops.pallas.blockwise8 import dequantize_blockwise_pallas
+
+        code_t = tuple(float(x) for x in np.asarray(code).reshape(-1)[:256])
+        return dequantize_blockwise_pallas(
+            A, absmax, code_t=code_t, blocksize=blocksize, dtype=jnp.dtype(dtype).name
+        )
+    return dequantize_blockwise_with_code(A, absmax, code, blocksize, dtype)
+
+
 def quantize_blockwise(
     A: jax.Array,
     code: Optional[jax.Array] = None,
@@ -101,7 +139,7 @@ def quantize_blockwise(
         raise ValueError(f"blocksize {blocksize} not in {VALID_BLOCKSIZES}")
     if code is None:
         code = jnp.asarray(create_dynamic_map())
-    q, absmax = quantize_blockwise_with_code(A, code, blocksize)
+    q, absmax = _quantize_dispatch(A, code, blocksize)
     if nested:
         offset = jnp.mean(absmax)
         code2 = jnp.asarray(create_dynamic_map())
@@ -154,7 +192,7 @@ def dequantize_blockwise(
         code = jnp.asarray(create_dynamic_map())
     if absmax is None:
         raise ValueError("either quant_state or absmax must be provided")
-    out = dequantize_blockwise_with_code(A, absmax, code, blocksize, dtype)
+    out = _dequantize_dispatch(A, absmax, code, blocksize, dtype)
     if quant_state is not None:
         out = out.reshape(quant_state.shape)
     return out

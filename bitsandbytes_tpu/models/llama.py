@@ -97,11 +97,41 @@ class KVCache(NamedTuple):
     v: jax.Array
 
 
-def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int) -> KVCache:
+class Int8KVCache(NamedTuple):
+    """int8-quantized KV cache: halves KV memory/bandwidth vs bf16.
+
+    ``k``/``v`` are int8 [L, B, S, KVH, hd]; ``k_scale``/``v_scale`` are the
+    per-(slot, position, head) absmax/127 scales [L, B, S, KVH].  This is
+    the int8-KV serving option from BASELINE.json config #5 — a capability
+    layered above the core quantization ops (SURVEY.md §5.7)."""
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array
+    v_scale: jax.Array
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, kv_dtype="bf16"):
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if kv_dtype in ("int8", jnp.int8):
+        return Int8KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        )
     return KVCache(
         k=jnp.zeros(shape, dtype=cfg.dtype), v=jnp.zeros(shape, dtype=cfg.dtype)
     )
+
+
+def _quantize_kv(x):
+    """Per-(batch, pos, head) symmetric int8 over the head dim.  Returns
+    (int8, scale)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = absmax / 127.0
+    q = jnp.round(x.astype(jnp.float32) / jnp.maximum(scale[..., None], 1e-12))
+    return q.astype(jnp.int8), scale
 
 
 def init_params(key: jax.Array, cfg: LlamaConfig) -> dict:
@@ -287,10 +317,17 @@ def forward(
     B, T = ids.shape
     H, KVH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = jnp.take(params["embed"], ids, axis=0).astype(cfg.dtype)
-    positions = start_pos + jnp.arange(T)[None, :]
-    positions = jnp.broadcast_to(positions, (B, T))
+    start_pos = jnp.asarray(start_pos)
+    vector_pos = start_pos.ndim == 1  # per-slot positions (continuous batching)
+    if vector_pos and T != 1:
+        raise ValueError("per-slot start_pos requires T == 1 (decode)")
+    if vector_pos:
+        positions = start_pos[:, None]
+    else:
+        positions = start_pos + jnp.arange(T)[None, :]
+        positions = jnp.broadcast_to(positions, (B, T))
 
-    new_k, new_v = [], []
+    new_k, new_v, new_ks, new_vs = [], [], [], []
     for li, layer in enumerate(params["layers"]):
         l_lora = lora["layers"][li] if lora is not None else {}
         h = _rmsnorm(x, layer["attn_norm"], cfg.rms_eps)
@@ -308,18 +345,47 @@ def forward(
         k = _rope(k, positions, cfg.rope_theta)
 
         if cache is not None:
-            ck = jax.lax.dynamic_update_slice(
-                cache.k[li], k.astype(cache.k.dtype), (0, start_pos, 0, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                cache.v[li], v.astype(cache.v.dtype), (0, start_pos, 0, 0)
-            )
+            is_int8_kv = isinstance(cache, Int8KVCache)
+            if is_int8_kv:
+                k_w, k_s = _quantize_kv(k)
+                v_w, v_s = _quantize_kv(v)
+            else:
+                k_w, v_w = k.astype(cache.k.dtype), v.astype(cache.v.dtype)
+                k_s = v_s = None
+            if vector_pos:
+                # continuous batching: each slot writes at its own position
+                ar = jnp.arange(B)
+                ck = cache.k[li].at[ar, start_pos].set(k_w[:, 0])
+                cv = cache.v[li].at[ar, start_pos].set(v_w[:, 0])
+                if is_int8_kv:
+                    cks = cache.k_scale[li].at[ar, start_pos].set(k_s[:, 0])
+                    cvs = cache.v_scale[li].at[ar, start_pos].set(v_s[:, 0])
+            else:
+                ck = jax.lax.dynamic_update_slice(cache.k[li], k_w, (0, start_pos, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cache.v[li], v_w, (0, start_pos, 0, 0))
+                if is_int8_kv:
+                    cks = jax.lax.dynamic_update_slice(
+                        cache.k_scale[li], k_s, (0, start_pos, 0)
+                    )
+                    cvs = jax.lax.dynamic_update_slice(
+                        cache.v_scale[li], v_s, (0, start_pos, 0)
+                    )
             new_k.append(ck)
             new_v.append(cv)
+            if is_int8_kv:
+                new_ks.append(cks)
+                new_vs.append(cvs)
+                k_full = (ck.astype(jnp.float32) * cks[..., None]).astype(q.dtype)
+                v_full = (cv.astype(jnp.float32) * cvs[..., None]).astype(q.dtype)
+            else:
+                k_full, v_full = ck.astype(q.dtype), cv.astype(q.dtype)
             S = ck.shape[1]
-            valid = jnp.arange(S)[None, :] < (start_pos + T)
-            valid = jnp.broadcast_to(valid, (B, S))
-            attn = _attention(q, ck.astype(q.dtype), cv.astype(q.dtype), positions, valid, cfg)
+            if vector_pos:
+                valid = jnp.arange(S)[None, :] <= start_pos[:, None]
+            else:
+                valid = jnp.arange(S)[None, :] < (start_pos + T)
+                valid = jnp.broadcast_to(valid, (B, S))
+            attn = _attention(q, k_full, v_full, positions, valid, cfg)
         else:
             valid = jnp.ones((B, T), dtype=bool)
             attn = _attention(q, k, v, positions, valid, cfg)
@@ -343,7 +409,14 @@ def forward(
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = _apply_linear(x, params["lm_head"], threshold=int8_threshold)
     if cache is not None:
-        return logits.astype(jnp.float32), KVCache(jnp.stack(new_k), jnp.stack(new_v))
+        if isinstance(cache, Int8KVCache):
+            new_cache = Int8KVCache(
+                jnp.stack(new_k), jnp.stack(new_v),
+                jnp.stack(new_ks), jnp.stack(new_vs),
+            )
+        else:
+            new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v))
+        return logits.astype(jnp.float32), new_cache
     return logits.astype(jnp.float32), None
 
 

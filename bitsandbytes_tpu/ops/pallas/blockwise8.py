@@ -1,0 +1,114 @@
+"""Blockwise 8-bit quantize/dequantize Pallas kernels.
+
+TPU-native analog of the reference kQuantizeBlockwise/kDequantizeBlockwise
+for the 256-entry codebooks (csrc/kernels.cu:269-529).  XLA lowers 256-entry
+LUT gathers to a scalar path (~1000x too slow), so:
+
+* dequantize: 8-level select tree over the codebook (255 vselects).
+* quantize: rank = #{midpoints < x} via 255 fused compare-accumulates
+  (identical to the oracle's searchsorted-left semantics).
+
+Codebooks are compile-time constants; one grid step processes a tile of
+whole quantization blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .optim8bit import _decode_tree256, _rank256
+
+__all__ = [
+    "dequantize_blockwise_pallas",
+    "quantize_blockwise_pallas",
+    "pallas_blockwise8_supported",
+]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() in ("cpu", "gpu")
+
+
+def pallas_blockwise8_supported(n: int, blocksize: int) -> bool:
+    # one tile row per quant block; lanes must hold a whole block
+    return blocksize in (128, 256, 512, 1024, 2048, 4096) and n >= blocksize
+
+
+def _dq_kernel(q_ref, am_ref, out_ref, *, code):
+    q = q_ref[:].astype(jnp.int32)
+    out_ref[:] = (_decode_tree256(q, code) * am_ref[:]).astype(out_ref.dtype)
+
+
+def _q_kernel(x_ref, q_ref, am_ref, *, midpoints):
+    x = x_ref[:].astype(jnp.float32)
+    am = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    am_ref[:] = am
+    scaled = jnp.clip(x / jnp.maximum(am, 1e-38), -1.0, 1.0)
+    q_ref[:] = _rank256(scaled, midpoints).astype(jnp.uint8)
+
+
+def _tiles(nb: int, blocksize: int) -> int:
+    # rows-of-blocks per grid step; keep f32 tiles ~<= 512 KB (VMEM holds
+    # in+out+pipeline double-buffers + select-tree temporaries)
+    tb = max(1, (1 << 17) // blocksize)
+    while nb % tb:
+        tb //= 2
+    return max(tb, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("code_t", "blocksize", "dtype"))
+def dequantize_blockwise_pallas(q, absmax, *, code_t, blocksize, dtype):
+    """q: uint8 codes (any shape, whole blocks); absmax: [nblocks] f32."""
+    n = q.size
+    nb = n // blocksize
+    code = np.asarray(code_t, np.float32)
+    TB = _tiles(nb, blocksize)
+    out = pl.pallas_call(
+        functools.partial(_dq_kernel, code=code),
+        grid=(nb // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, blocksize), jnp.dtype(dtype)),
+        interpret=_interpret(),
+    )(q.reshape(nb, blocksize), absmax.reshape(nb, 1).astype(jnp.float32))
+    return out.reshape(q.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("code_t", "blocksize"))
+def quantize_blockwise_pallas(x, *, code_t, blocksize) -> Tuple[jax.Array, jax.Array]:
+    """x: any shape with size % blocksize == 0.  Returns (q uint8, absmax)."""
+    n = x.size
+    nb = n // blocksize
+    code = np.asarray(code_t, np.float32)
+    midpoints = ((code[:-1] + code[1:]) * 0.5).astype(np.float32)
+    # quantize holds more live temporaries (rank accumulator chain): smaller tiles
+    TB = max(1, _tiles(nb, blocksize) // 4)
+    while nb % TB:
+        TB //= 2
+    q, am = pl.pallas_call(
+        functools.partial(_q_kernel, midpoints=midpoints),
+        grid=(nb // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, blocksize), jnp.uint8),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x.reshape(nb, blocksize).astype(jnp.float32))
+    return q.reshape(x.shape), am.reshape(-1)

@@ -1,0 +1,211 @@
+"""Continuous-batching generation engine.
+
+Serves a quantized Llama-family model (bitsandbytes_tpu.models.llama) with:
+
+* **slot-based continuous batching**: a fixed-size decode batch whose slots
+  are independently occupied/retired per request — new requests join the
+  running batch without stalling in-flight ones (the decode step takes a
+  per-slot position vector).
+* **static shapes throughout**: the decode step compiles once; prefill
+  lengths are bucketed to powers of two so the number of prefill programs
+  is O(log max_len) — XLA-friendly, no dynamic shapes.
+* **int8 KV cache option** (``kv_dtype="int8"``): halves KV memory and
+  HBM traffic per step (models/llama.Int8KVCache).
+
+The reference has no serving layer (it plugs into HF generate); this is the
+TPU-native serving slice from BASELINE.json configs #3/#5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama as L
+
+__all__ = ["ContinuousBatchingEngine", "GenerationResult"]
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    request_id: int
+    prompt: List[int]
+    tokens: List[int]
+    finished_reason: str  # "eos" | "length"
+
+
+@dataclasses.dataclass
+class _Slot:
+    request_id: int
+    prompt: List[int]
+    max_new_tokens: int
+    tokens: List[int] = dataclasses.field(default_factory=list)
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class ContinuousBatchingEngine:
+    """Host-side request scheduler around jitted prefill/decode steps.
+
+    Usage::
+
+        eng = ContinuousBatchingEngine(params, cfg, max_batch=8, max_len=512)
+        eng.add_request([1, 2, 3], max_new_tokens=32)
+        while eng.has_work():
+            for r in eng.step():
+                print(r.tokens)
+    """
+
+    def __init__(
+        self,
+        params: Any,
+        cfg: L.LlamaConfig,
+        max_batch: int = 8,
+        max_len: int = 1024,
+        kv_dtype: str = "bf16",
+        eos_id: Optional[int] = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.eos_id = eos_id
+        self.cache = L.init_kv_cache(cfg, max_batch, max_len, kv_dtype=kv_dtype)
+        self.kv_dtype = kv_dtype
+        self.lengths = np.zeros(max_batch, np.int32)  # tokens already in cache
+        self.slots: Dict[int, _Slot] = {}
+        self.cur_token = np.zeros(max_batch, np.int32)
+        self._next_id = 0
+        self._pending: List[_Slot] = []
+
+        cfg_ = cfg
+
+        @jax.jit
+        def decode(params, cache, tokens, positions, active):
+            logits, cache = L.forward(
+                params, tokens[:, None], cfg_, cache=cache, start_pos=positions
+            )
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            return nxt, cache
+
+        self._decode = decode
+
+        @partial(jax.jit, static_argnames=("pad_len",))
+        def prefill_one(params, cache1, ids_padded, true_len, pad_len):
+            # run the padded prompt through a single-slot cache; positions
+            # beyond true_len hold garbage K/V but are masked by the valid
+            # length at decode time
+            logits, cache1 = L.forward(
+                params, ids_padded, cfg_, cache=cache1, start_pos=0
+            )
+            last = logits[0, true_len - 1]
+            return jnp.argmax(last, -1).astype(jnp.int32), cache1
+
+        self._prefill_one = prefill_one
+
+    # -- request management -------------------------------------------------
+
+    def add_request(self, prompt_ids: List[int], max_new_tokens: int = 64) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        if len(prompt_ids) >= self.max_len:
+            raise ValueError("prompt longer than max_len")
+        self._pending.append(_Slot(rid, list(prompt_ids), max_new_tokens))
+        self._admit()
+        return rid
+
+    def _free_slots(self) -> List[int]:
+        used = set(self.slots.keys())
+        return [b for b in range(self.max_batch) if b not in used]
+
+    def _admit(self) -> None:
+        free = self._free_slots()
+        while free and self._pending:
+            slot_idx = free.pop(0)
+            req = self._pending.pop(0)
+            self._prefill_into(slot_idx, req)
+
+    def _prefill_into(self, b: int, req: _Slot) -> None:
+        ids = np.asarray(req.prompt, np.int32)
+        pad_len = _bucket(len(ids))
+        ids_p = np.zeros((1, pad_len), np.int32)
+        ids_p[0, : len(ids)] = ids
+        cache1 = jax.tree_util.tree_map(lambda x: x[:, b : b + 1], self.cache)
+        nxt, cache1 = self._prefill_one(
+            self.params, cache1, jnp.asarray(ids_p), len(ids), pad_len
+        )
+        # write the slot back into the big cache
+        self.cache = jax.tree_util.tree_map(
+            lambda big, one: big.at[:, b].set(one[:, 0]), self.cache, cache1
+        )
+        self.lengths[b] = len(ids)
+        self.cur_token[b] = int(nxt)
+        req.tokens.append(int(nxt))
+        self.slots[b] = req
+
+    def has_work(self) -> bool:
+        return bool(self.slots) or bool(self._pending)
+
+    # -- decode -------------------------------------------------------------
+
+    def step(self) -> List[GenerationResult]:
+        """One decode step across all occupied slots.  Returns requests that
+        finished this step."""
+        if not self.slots:
+            self._admit()
+            if not self.slots:
+                return []
+        active = np.zeros(self.max_batch, bool)
+        for b in self.slots:
+            active[b] = True
+        positions = jnp.asarray(np.where(active, self.lengths, 0), jnp.int32)
+        tokens = jnp.asarray(self.cur_token, jnp.int32)
+        nxt, self.cache = self._decode(
+            self.params, self.cache, tokens, positions, jnp.asarray(active)
+        )
+        nxt = np.asarray(nxt)
+
+        finished: List[GenerationResult] = []
+        for b in list(self.slots):
+            req = self.slots[b]
+            self.lengths[b] += 1
+            tok = int(nxt[b])
+            req.tokens.append(tok)
+            self.cur_token[b] = tok
+            done_eos = self.eos_id is not None and tok == self.eos_id
+            done_len = (
+                len(req.tokens) >= req.max_new_tokens
+                or self.lengths[b] + 1 >= self.max_len
+            )
+            if done_eos or done_len:
+                finished.append(
+                    GenerationResult(
+                        request_id=req.request_id,
+                        prompt=req.prompt,
+                        tokens=req.tokens,
+                        finished_reason="eos" if done_eos else "length",
+                    )
+                )
+                del self.slots[b]
+                self.lengths[b] = 0
+        self._admit()
+        return finished
+
+    def generate(self, prompts: List[List[int]], max_new_tokens: int = 64) -> List[GenerationResult]:
+        """Convenience batch API: submit all prompts, run to completion."""
+        for p in prompts:
+            self.add_request(p, max_new_tokens)
+        out: List[GenerationResult] = []
+        while self.has_work():
+            out.extend(self.step())
+        return sorted(out, key=lambda r: r.request_id)

@@ -123,23 +123,53 @@ def _dequantize_dispatch(A, absmax, code, blocksize, dtype):
     return dequantize_blockwise_with_code(A, absmax, code, blocksize, dtype)
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _stochastic_requant(A, code, q_det, blocksize, key):
+    """Stochastic rounding: move to the adjacent code entry with probability
+    proportional to the relative distance (reference STOCHASTIC template,
+    kernels.cu:160-219,269-375)."""
+    flat = A.reshape(-1).astype(jnp.float32)
+    n = flat.shape[0]
+    padded = _pad_to_blocks(flat, blocksize).reshape(-1, blocksize)
+    absmax = jnp.max(jnp.abs(padded), axis=-1)
+    scale = 1.0 / jnp.clip(absmax, _ABSMAX_EPS, None)
+    scaled = jnp.clip(padded * scale[:, None], -1.0, 1.0).reshape(-1)[:n]
+    qd = q_det.reshape(-1).astype(jnp.int32)
+    lower = jnp.take(code, qd)
+    # the neighbor on the other side of x
+    above = scaled > lower
+    neighbor_idx = jnp.clip(qd + jnp.where(above, 1, -1), 0, code.shape[0] - 1)
+    neighbor = jnp.take(code, neighbor_idx)
+    gap = jnp.abs(neighbor - lower)
+    p_move = jnp.where(gap > 0, jnp.abs(scaled - lower) / jnp.maximum(gap, 1e-20), 0.0)
+    u = jax.random.uniform(key, scaled.shape)
+    q = jnp.where(u < p_move, neighbor_idx, qd).astype(jnp.uint8)
+    return q.reshape(A.shape)
+
+
 def quantize_blockwise(
     A: jax.Array,
     code: Optional[jax.Array] = None,
     blocksize: int = 4096,
     nested: bool = False,
+    stochastic_key: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, QuantState]:
     """Blockwise 8-bit quantization with the dynamic codebook by default.
 
     Mirrors reference `quantize_blockwise` (functional.py:613-695) including
     nested (double) quantization of the absmax at blocksize 256 with mean
-    offset.
+    offset.  Passing ``stochastic_key`` enables stochastic rounding
+    (distance-proportional move to the adjacent code entry — the reference's
+    STOCHASTIC kernel template; in JAX the randomness source is an explicit
+    PRNG key).
     """
     if blocksize not in VALID_BLOCKSIZES:
         raise ValueError(f"blocksize {blocksize} not in {VALID_BLOCKSIZES}")
     if code is None:
         code = jnp.asarray(create_dynamic_map())
     q, absmax = _quantize_dispatch(A, code, blocksize)
+    if stochastic_key is not None:
+        q = _stochastic_requant(A, code, q, blocksize, stochastic_key)
     if nested:
         offset = jnp.mean(absmax)
         code2 = jnp.asarray(create_dynamic_map())

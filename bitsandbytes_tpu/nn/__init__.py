@@ -10,6 +10,7 @@ from .modules import (
     LinearFP4,
     LinearNF4,
     StableEmbedding,
+    OutlierAwareLinear,
     QuantizedTensor,
     Int8TensorState,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "EmbeddingNF4",
     "Embedding8bit",
     "StableEmbedding",
+    "OutlierAwareLinear",
     "QuantizedTensor",
     "Int8TensorState",
     "quantize_tree",

@@ -45,6 +45,7 @@ __all__ = [
     "EmbeddingNF4",
     "Embedding8bit",
     "StableEmbedding",
+    "OutlierAwareLinear",
 ]
 
 
@@ -336,3 +337,54 @@ class StableEmbedding(nn.Module):
         out = jnp.take(table, ids.reshape(-1), axis=0)
         out = nn.LayerNorm(dtype=jnp.float32)(out)
         return out.reshape(*ids.shape, self.features).astype(self.dtype)
+
+
+class OutlierAwareLinear(nn.Module):
+    """Linear whose weight is int8-quantized except for a fixed budget of
+    outlier input dimensions, which stay in full precision (reference
+    `OutlierAwareLinear`, nn/modules.py:1197-1220, using OutlierTracer).
+
+    The reference discovers outliers with forward pre-hooks at runtime; under
+    XLA, dynamic outlier counts don't exist, so a fixed ``outlier_topk``
+    budget is selected from the weight at init (SURVEY.md §7's
+    fixed-outlier-budget strategy)."""
+
+    features: int
+    outlier_topk: int = 16
+    compute_dtype: Any = jnp.bfloat16
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x):
+        from ..utils.outliers import find_outlier_dims
+
+        K = x.shape[-1]
+
+        def init_fn(key):
+            W = self.kernel_init(key, (self.features, K), jnp.float32)
+            idx = find_outlier_dims(W, reduction_dim=0, topk=self.outlier_topk)
+            W_outl = jnp.take(W, idx, axis=1)  # [N, topk] fp columns
+            W_base = W.at[:, idx].set(0.0)
+            q = Int8TensorState.quantize(W_base)
+            return {"q": q, "outlier_idx": idx, "outlier_w": W_outl}
+
+        packed = self.param("kernel", init_fn)
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), self.compute_dtype)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.compute_dtype)
+        state = autograd.MatmulLtState(
+            CB=packed["q"].CB, SCB=packed["q"].SCB, has_fp16_weights=False
+        )
+        out = autograd.matmul(x, None, state)
+        x_outl = jnp.take(x, packed["outlier_idx"], axis=-1)
+        out = out + jnp.matmul(
+            x_outl, packed["outlier_w"].T.astype(self.compute_dtype)
+        )
+        if bias is not None:
+            out = out + bias
+        return out

@@ -1,0 +1,26 @@
+"""Paged (host-offloaded) 8-bit optimizer states (reference
+examples/xpu/paged_xpu_training.py): states live in pinned host memory and
+stream to the device during the update."""
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bitsandbytes_tpu import optim
+
+
+def main():
+    params = {"w": jax.random.normal(jax.random.PRNGKey(0), (1024, 1024))}
+    opt = optim.paged_adamw8bit(1e-3)
+    state = opt.init(params)  # uint8 states placed in pinned_host when available
+    for i in range(5):
+        grads = jax.tree_util.tree_map(
+            lambda p: 0.01 * jax.random.normal(jax.random.PRNGKey(i), p.shape), params
+        )
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        print(f"step {i}: |w| = {float(jnp.abs(params['w']).mean()):.5f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -229,3 +229,27 @@ def test_gemm_4bit_nested_absmax():
     out = F.gemm_4bit(A, packed, state)
     ref = A @ F.dequantize_4bit(packed, quant_state=state).T
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_stochastic_rounding_unbiased():
+    """Stochastic quantization is unbiased: averaging dequantized values over
+    many keys converges to the input (reference STOCHASTIC template,
+    kernels.cu:269-375)."""
+    from bitsandbytes_tpu.functional.blockwise import (
+        dequantize_blockwise,
+        quantize_blockwise,
+    )
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4096,)).astype(np.float32))
+    acc = np.zeros_like(np.asarray(x))
+    reps = 32
+    for i in range(reps):
+        q, st = quantize_blockwise(x, blocksize=256, stochastic_key=jax.random.PRNGKey(i))
+        acc += np.asarray(dequantize_blockwise(q, quant_state=st))
+    mean_sto = acc / reps
+    q0, st0 = quantize_blockwise(x, blocksize=256)
+    det = np.asarray(dequantize_blockwise(q0, quant_state=st0))
+    err_sto = np.abs(mean_sto - np.asarray(x)).mean()
+    err_det = np.abs(det - np.asarray(x)).mean()
+    # averaged stochastic error beats deterministic rounding's bias
+    assert err_sto < err_det, (err_sto, err_det)

@@ -149,3 +149,30 @@ def test_linear4bit_under_jit():
     out1 = jax.jit(lambda p, x: m.apply(p, x))(params, x)
     out2 = m.apply(params, x)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-5, atol=1e-5)
+
+
+def test_outlier_aware_linear():
+    """OutlierAwareLinear keeps top-k outlier input dims in fp; output close
+    to an fp linear (reference nn/modules.py:1197)."""
+    from bitsandbytes_tpu.nn import OutlierAwareLinear
+
+    layer = OutlierAwareLinear(features=128, outlier_topk=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 256)).astype(jnp.bfloat16)
+    params = layer.init(jax.random.PRNGKey(1), x)
+    out = layer.apply(params, x)
+    assert out.shape == (4, 128)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_find_outlier_dims():
+    from bitsandbytes_tpu.utils.outliers import find_outlier_dims, OutlierPool
+
+    W = np.random.default_rng(0).normal(size=(64, 128)).astype(np.float32)
+    W[:, 5] *= 50.0  # plant an outlier column
+    idx = find_outlier_dims(jnp.asarray(W), topk=2)
+    assert 5 in np.asarray(idx)
+    mask = find_outlier_dims(jnp.asarray(W), zscore=4.0)
+    assert bool(mask[5])
+    pool = OutlierPool()
+    pool.add_outliers(idx, 128)
+    assert 5 in pool.get_current_outlier_idx().tolist()

@@ -126,18 +126,38 @@ def _gemm4bit_kernel(a_even_ref, a_odd_ref, bp_ref, scale_ref, out_ref, *, code,
 
 def _pick_tiles(M: int, N: int, K: int, blocksize: int):
     """Tile selection: TKh (packed-K tile) must be a lane multiple and a
-    multiple of bs/2 so absmax tiles align; TN a sublane-friendly row tile."""
-    TKh_candidates = (512, 256, 128)  # VMEM: ~16 live f32 temporaries per tile
+    multiple of bs/2 so absmax tiles align; TN a sublane-friendly row tile.
+
+    Candidate order comes from an on-device sweep over the Llama decode
+    shapes (v5e): tall-N tiles with shallow K ((2048, 256)) won or tied on
+    [28672,4096], [4096,14336] and [4096,4096]; [6144,4096] prefers
+    (256, 1024) by ~9% but tolerates the tall tile."""
     sb = blocksize // 2
-    TKh = next(
-        (
-            t
-            for t in TKh_candidates
-            if (K // 2) % t == 0 and t % sb == 0 and (t // sb) % 8 == 0
-        ),
-        None,
+
+    def ok(tn, tkh):
+        return (
+            N % tn == 0
+            and (K // 2) % tkh == 0
+            and tkh % sb == 0
+            and (tkh // sb) % 8 == 0
+        )
+
+    candidates = (
+        (2048, 256),
+        (1024, 512),
+        (512, 512),
+        (256, 1024),
+        (256, 512),
+        (128, 512),
+        (256, 256),
+        (128, 256),
+        (128, 128),
     )
-    TN = next((t for t in (256, 128) if N % t == 0), None)
+    TN = TKh = None
+    for tn, tkh in candidates:
+        if ok(tn, tkh):
+            TN, TKh = tn, tkh
+            break
     if M <= 16:
         TM = M
     else:

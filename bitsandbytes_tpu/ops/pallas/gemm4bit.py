@@ -142,8 +142,13 @@ def _pick_tiles(M: int, N: int, K: int, blocksize: int):
             and (tkh // sb) % 8 == 0
         )
 
-    candidates = (
-        (2048, 256),
+    # Sweep-derived: tall-N, shallow-K tiles win across the decode shapes
+    # ([28672,4096]: (3584,256); [6144,4096]: (3072,256); [4096,*]:
+    # (4096,256)).  VMEM bound: TN*TKh <= 2^20 keeps the f32 decode
+    # temporaries + bf16 operands + pipeline buffers inside 16 MB.
+    candidates = tuple(
+        (tn, 256) for tn in (4096, 3584, 3072, 2048, 1536, 1024, 512, 256, 128)
+    ) + (
         (1024, 512),
         (512, 512),
         (256, 1024),

@@ -9,9 +9,13 @@ TPU-native analog of the reference autograd functions
 * :func:`matmul` — MatMul8bitLt (reference :101-242): LLM.int8() forward with
   outlier decomposition; backward dequantizes the int8 weight for ``grad_A``
   and (when the weight is trainable fp16) computes ``grad_B`` from the
-  int8-quantized activations.
+  straight-through estimator.
 
-Being JAX, there is no Function/ctx machinery: `jax.custom_vjp` pairs.
+Being JAX, there is no Function/ctx machinery: module-level
+``jax.custom_vjp`` pairs taking the quantized state as explicit pytree
+arguments (closing over it would leak tracers when the state itself is
+produced inside an outer differentiated computation) and returning zero
+cotangents for every weight leaf.
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .functional.fourbit import dequantize_4bit
 from .functional.gemm import gemm_4bit
@@ -37,9 +42,43 @@ from .functional.quant_state import QuantState
 __all__ = ["matmul_4bit", "matmul", "MatmulLtState"]
 
 
+def _zero_cot(x):
+    """Zero cotangent for a weight leaf: float0 for integer arrays."""
+    if x is None:
+        return None
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(np.shape(x), jax.dtypes.float0)
+
+
 # ---------------------------------------------------------------------------
 # 4-bit
 # ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _mm_4bit(A, B_packed, state: QuantState):
+    return gemm_4bit(A, B_packed, state)
+
+
+def _mm_4bit_fwd(A, B_packed, state):
+    return _mm_4bit(A, B_packed, state), (B_packed, state)
+
+
+def _mm_4bit_bwd(res, g):
+    B_packed, state = res
+    # grad_A = g @ dequant(B)  (reference :381-384). B is [N, K]; g is
+    # [..., N]; no transpose needed for g @ W.  No weight gradient.
+    W = dequantize_4bit(B_packed, quant_state=state).astype(g.dtype)
+    grad_A = jnp.matmul(g, W, preferred_element_type=jnp.float32).astype(g.dtype)
+    return (
+        grad_A,
+        _zero_cot(B_packed),
+        jax.tree_util.tree_map(_zero_cot, state),
+    )
+
+
+_mm_4bit.defvjp(_mm_4bit_fwd, _mm_4bit_bwd)
 
 
 def matmul_4bit(
@@ -50,23 +89,7 @@ def matmul_4bit(
 ) -> jax.Array:
     """``A @ dequant(B)^T + bias`` with gradients flowing only to ``A`` (and
     ``bias``).  Reference autograd/_functions.py:407-491."""
-
-    @jax.custom_vjp
-    def core(A):
-        return gemm_4bit(A, B_packed, quant_state)
-
-    def core_fwd(A):
-        return core(A), None
-
-    def core_bwd(_, g):
-        # grad_A = g @ dequant(B)  (reference :381-384). B is [N, K]; g is
-        # [..., N]; no transpose needed for g @ W.
-        W = dequantize_4bit(B_packed, quant_state=quant_state).astype(g.dtype)
-        grad_A = jnp.matmul(g, W, preferred_element_type=jnp.float32).astype(g.dtype)
-        return (grad_A,)
-
-    core.defvjp(core_fwd, core_bwd)
-    out = core(A)
+    out = _mm_4bit(A, B_packed, quant_state)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
@@ -93,79 +116,6 @@ class MatmulLtState:
     has_fp16_weights: bool = False
 
 
-def matmul(
-    A: jax.Array,
-    B: jax.Array,
-    state: MatmulLtState,
-    bias: Optional[jax.Array] = None,
-) -> jax.Array:
-    """LLM.int8() matmul: ``A @ B^T`` with vector-wise int8 quantization and
-    fp outlier decomposition (reference MatMul8bitLt,
-    autograd/_functions.py:101-242).
-
-    ``B`` is the fp weight [N, K] when ``state.has_fp16_weights`` (training);
-    otherwise ``state.CB/SCB`` hold the frozen int8 weight and ``B`` is
-    ignored for the forward.
-    """
-    threshold = state.threshold
-    out_dtype = A.dtype
-
-    if state.has_fp16_weights:
-        # Training path: quantization happens inside the custom-VJP so the
-        # quantized weight is a residual of the forward, and grad_B is the
-        # straight-through g^T @ A (reference :221-233).
-        @jax.custom_vjp
-        def core(A, B_fp):
-            CB, SCB, _ = int8_vectorwise_quant(B_fp)
-            return _int8_forward(A, CB, SCB, threshold, out_dtype)
-
-        def core_fwd(A, B_fp):
-            CB, SCB, _ = int8_vectorwise_quant(B_fp)
-            out = _int8_forward(A, CB, SCB, threshold, out_dtype)
-            return out, (A, CB, SCB)
-
-        def core_bwd(res, g):
-            A_res, CB, SCB = res
-            W_dq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
-            grad_A = jnp.matmul(
-                g.astype(jnp.float32), W_dq, preferred_element_type=jnp.float32
-            ).astype(g.dtype)
-            g2 = g.reshape(-1, g.shape[-1])
-            A2 = A_res.reshape(-1, A_res.shape[-1])
-            grad_B = jnp.matmul(
-                g2.T.astype(jnp.float32), A2.astype(jnp.float32), preferred_element_type=jnp.float32
-            )
-            return grad_A, grad_B
-
-        core.defvjp(core_fwd, core_bwd)
-        out = core(A, B)
-    else:
-        # Frozen int8 weight: CB/SCB are not differentiated, so closing over
-        # them is safe; gradient flows to activations only.
-        CB, SCB = state.CB, state.SCB
-
-        @jax.custom_vjp
-        def core(A):
-            return _int8_forward(A, CB, SCB, threshold, out_dtype)
-
-        def core_fwd(A):
-            return core(A), None
-
-        def core_bwd(_, g):
-            W_dq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
-            grad_A = jnp.matmul(
-                g.astype(jnp.float32), W_dq, preferred_element_type=jnp.float32
-            ).astype(g.dtype)
-            return (grad_A,)
-
-        core.defvjp(core_fwd, core_bwd)
-        out = core(A)
-
-    if bias is not None:
-        out = out + bias.astype(out.dtype)
-    return out
-
-
 def _int8_forward(A, CB, SCB, threshold, out_dtype):
     lead = A.shape[:-1]
     A2 = A.reshape(-1, A.shape[-1])
@@ -178,3 +128,77 @@ def _int8_forward(A, CB, SCB, threshold, out_dtype):
         Aq, row_stats, _ = int8_vectorwise_quant(A2)
         out = int8_scaled_mm(Aq, CB, row_stats, SCB, dtype=out_dtype)
     return out.reshape(*lead, CB.shape[0])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _mm_8bit_train(A, B_fp, threshold):
+    CB, SCB, _ = int8_vectorwise_quant(B_fp)
+    return _int8_forward(A, CB, SCB, threshold, A.dtype)
+
+
+def _mm_8bit_train_fwd(A, B_fp, threshold):
+    CB, SCB, _ = int8_vectorwise_quant(B_fp)
+    out = _int8_forward(A, CB, SCB, threshold, A.dtype)
+    return out, (A, CB, SCB)
+
+
+def _mm_8bit_train_bwd(threshold, res, g):
+    A_res, CB, SCB = res
+    W_dq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
+    grad_A = jnp.matmul(
+        g.astype(jnp.float32), W_dq, preferred_element_type=jnp.float32
+    ).astype(g.dtype)
+    g2 = g.reshape(-1, g.shape[-1])
+    A2 = A_res.reshape(-1, A_res.shape[-1])
+    grad_B = jnp.matmul(
+        g2.T.astype(jnp.float32), A2.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return grad_A, grad_B
+
+
+_mm_8bit_train.defvjp(_mm_8bit_train_fwd, _mm_8bit_train_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mm_8bit_frozen(A, CB, SCB, threshold):
+    return _int8_forward(A, CB, SCB, threshold, A.dtype)
+
+
+def _mm_8bit_frozen_fwd(A, CB, SCB, threshold):
+    return _int8_forward(A, CB, SCB, threshold, A.dtype), (CB, SCB)
+
+
+def _mm_8bit_frozen_bwd(threshold, res, g):
+    CB, SCB = res
+    W_dq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
+    grad_A = jnp.matmul(
+        g.astype(jnp.float32), W_dq, preferred_element_type=jnp.float32
+    ).astype(g.dtype)
+    return grad_A, _zero_cot(CB), _zero_cot(SCB)
+
+
+_mm_8bit_frozen.defvjp(_mm_8bit_frozen_fwd, _mm_8bit_frozen_bwd)
+
+
+def matmul(
+    A: jax.Array,
+    B: Optional[jax.Array],
+    state: MatmulLtState,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """LLM.int8() matmul: ``A @ B^T`` with vector-wise int8 quantization and
+    fp outlier decomposition (reference MatMul8bitLt,
+    autograd/_functions.py:101-242).
+
+    ``B`` is the fp weight [N, K] when ``state.has_fp16_weights`` (training);
+    otherwise ``state.CB/SCB`` hold the frozen int8 weight and ``B`` is
+    ignored for the forward.
+    """
+    if state.has_fp16_weights:
+        out = _mm_8bit_train(A, B, float(state.threshold))
+    else:
+        out = _mm_8bit_frozen(A, state.CB, state.SCB, float(state.threshold))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

@@ -1,6 +1,8 @@
 """Utilities: benchmarking, serialization, model surgery."""
 
 from .benchmark import device_loop_time, sol_fraction
+from . import native
+from .outliers import OutlierPool, find_outlier_dims
 from .serialization import (
     state_dict_from_params,
     params_from_state_dict,
@@ -10,6 +12,9 @@ from .serialization import (
 )
 
 __all__ = [
+    "native",
+    "OutlierPool",
+    "find_outlier_dims",
     "device_loop_time",
     "sol_fraction",
     "state_dict_from_params",

@@ -1,0 +1,100 @@
+"""Gradient correctness for the custom-VJP matmuls (reference
+tests/test_autograd.py: matmul/matmul_4bit gradients vs torch autograd;
+here vs jax.grad on the explicit dequantized computation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bitsandbytes_tpu as bnb
+from bitsandbytes_tpu.functional.fourbit import dequantize_4bit, quantize_4bit
+from bitsandbytes_tpu.functional.int8 import int8_vectorwise_quant
+
+
+@pytest.mark.parametrize("lead", [(4,), (2, 3)])
+def test_matmul_4bit_grad_matches_dequant(lead):
+    K, N = 256, 128
+    W = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32) * 0.1
+    packed, qs = quantize_4bit(W, blocksize=64, layout="2d")
+    Wdq = dequantize_4bit(packed, quant_state=qs)
+    A = jax.random.normal(jax.random.PRNGKey(1), (*lead, K), jnp.float32)
+    bias = jax.random.normal(jax.random.PRNGKey(2), (N,), jnp.float32)
+
+    def f_q(a, b):
+        return jnp.sum(bnb.matmul_4bit(a, packed, qs, bias=b) ** 2)
+
+    def f_ref(a, b):
+        return jnp.sum((a @ Wdq.T + b) ** 2)
+
+    ga_q, gb_q = jax.grad(f_q, argnums=(0, 1))(A, bias)
+    ga_r, gb_r = jax.grad(f_ref, argnums=(0, 1))(A, bias)
+    np.testing.assert_allclose(np.asarray(ga_q), np.asarray(ga_r), rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gb_q), np.asarray(gb_r), rtol=1e-4, atol=1e-6)
+
+
+def test_matmul_4bit_no_weight_grad():
+    """The packed weight and quant state must produce no gradient path
+    (reference MatMul4Bit: frozen weight, autograd/_functions.py:364-386)."""
+    K, N = 256, 128
+    W = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32)
+    packed, qs = quantize_4bit(W, blocksize=64, layout="2d")
+    A = jax.random.normal(jax.random.PRNGKey(1), (4, K), jnp.float32)
+
+    def f(absmax):
+        qs2 = jax.tree_util.tree_map(lambda x: x, qs)
+        import dataclasses
+
+        qs2 = dataclasses.replace(qs2, absmax=absmax)
+        return jnp.sum(bnb.matmul_4bit(A, packed, qs2))
+
+    g = jax.grad(f)(qs.absmax)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_int8_training_grad_matches_reference():
+    """has_fp16_weights training path: grad_B is the straight-through
+    g^T @ A; grad_A uses the dequantized int8 weight (reference
+    MatMul8bitLt backward, autograd/_functions.py:202-242)."""
+    K, N, B = 256, 128, 8
+    Wf = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32) * 0.1
+    A = jax.random.normal(jax.random.PRNGKey(1), (B, K), jnp.float32)
+    state = bnb.MatmulLtState(has_fp16_weights=True)
+
+    def f(a, w):
+        return jnp.sum(bnb.matmul(a, w, state) ** 2)
+
+    ga, gw = jax.grad(f, argnums=(0, 1))(A, Wf)
+    # reference gradients computed on the dequantized weight
+    CB, SCB, _ = int8_vectorwise_quant(Wf)
+    Wdq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
+    out = bnb.matmul(A, Wf, state)
+    g_out = 2.0 * out.astype(jnp.float32)
+    ga_ref = g_out @ Wdq
+    gw_ref = g_out.T @ A
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=2e-2, atol=2e-2)
+
+
+def test_int8_frozen_grad_flows_to_activations_only():
+    K, N = 256, 128
+    W = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32)
+    CB, SCB, _ = int8_vectorwise_quant(W)
+    state = bnb.MatmulLtState(CB=CB, SCB=SCB)
+    A = jax.random.normal(jax.random.PRNGKey(1), (4, K), jnp.float32)
+    g = jax.grad(lambda a: jnp.sum(bnb.matmul(a, None, state)))(A)
+    Wdq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
+    ref = jnp.ones((4, N)) @ Wdq
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+
+def test_outlier_threshold_forward_grad():
+    """Outlier decomposition path (threshold > 0) is differentiable."""
+    K, N = 256, 128
+    W = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32)
+    CB, SCB, _ = int8_vectorwise_quant(W)
+    state = bnb.MatmulLtState(CB=CB, SCB=SCB, threshold=6.0)
+    A = jax.random.normal(jax.random.PRNGKey(1), (4, K), jnp.float32)
+    A = A.at[:, 3].set(20.0)  # plant outliers
+    g = jax.grad(lambda a: jnp.sum(bnb.matmul(a, None, state)))(A)
+    assert np.isfinite(np.asarray(g)).all()

@@ -1,0 +1,87 @@
+"""End-to-end quality: quantization must not break a trained model.
+
+The reference's e2e test generates pi digits from a real checkpoint
+(tests/test_generation.py:78).  Offline-equivalent here: train a tiny model
+to solve a deterministic task exactly, then quantize the trained weights to
+NF4 / NF4+DQ / int8 and verify the task still solves — the "no
+degradation" claim (LLM.int8() arXiv:2208.07339, QLoRA arXiv:2305.14314)
+at test scale.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from bitsandbytes_tpu.models import llama as L
+
+
+def _make_batch(key, batch, seqlen, vocab):
+    """Task: next token = (token + 1) mod vocab."""
+    start = jax.random.randint(key, (batch, 1), 0, vocab)
+    ids = (start + jnp.arange(seqlen + 1)[None, :]) % vocab
+    return ids.astype(jnp.int32)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = L.LlamaConfig(
+        vocab_size=64,
+        hidden_size=256,
+        intermediate_size=512,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=64,
+        dtype=jnp.float32,
+    )
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, ids):
+        def loss_fn(p):
+            return L.lm_loss(p, None, ids, cfg)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss = None
+    for i in range(200):
+        ids = _make_batch(jax.random.PRNGKey(i), 16, 16, cfg.vocab_size)
+        params, opt_state, loss = step(params, opt_state, ids)
+    assert float(loss) < 0.1, f"base model failed to train: loss {float(loss)}"
+    return cfg, params
+
+
+def _accuracy(params, cfg):
+    ids = _make_batch(jax.random.PRNGKey(999), 16, 16, cfg.vocab_size)
+    logits, _ = L.forward(params, ids[:, :-1], cfg)
+    pred = jnp.argmax(logits, -1)
+    return float((pred == ids[:, 1:]).mean())
+
+
+def test_base_model_solves_task(trained):
+    cfg, params = trained
+    assert _accuracy(params, cfg) > 0.99
+
+
+@pytest.mark.parametrize(
+    "quantize",
+    [
+        lambda p: L.quantize_params_4bit(p, quant_type="nf4"),
+        lambda p: L.quantize_params_4bit(p, quant_type="nf4", compress_statistics=True),
+        lambda p: L.quantize_params_4bit(p, quant_type="fp4"),
+        lambda p: L.quantize_params_int8(p),
+    ],
+    ids=["nf4", "nf4-dq", "fp4", "int8"],
+)
+def test_quantized_model_keeps_quality(trained, quantize):
+    """The quantized model must still solve the task (>= 99% next-token
+    accuracy) — the paper-claim parity check at test scale."""
+    cfg, params = trained
+    qparams = quantize(params)
+    assert _accuracy(qparams, cfg) > 0.99

@@ -18,6 +18,7 @@ from .sharding import (
     llama_tp_rules,
 )
 from .collectives import all_gather_packed, tp_gemm_4bit_allgather
+from .pipeline import gpipe, stack_stage_params
 
 __all__ = [
     "make_mesh",
@@ -27,4 +28,6 @@ __all__ = [
     "llama_tp_rules",
     "all_gather_packed",
     "tp_gemm_4bit_allgather",
+    "gpipe",
+    "stack_stage_params",
 ]

@@ -95,3 +95,69 @@ def test_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_gpipe_matches_sequential(mesh):
+    """GPipe over the 'model' axis (reused as pipe) must equal sequential
+    layer application; quantized layer weights shard along the stage axis."""
+    from bitsandbytes_tpu.parallel import gpipe, stack_stage_params
+    from bitsandbytes_tpu.nn.modules import QuantizedTensor
+
+    pipe_mesh = par.make_mesh({"pipe": 4})
+    D = 256
+    n_layers = 8
+    key = jax.random.PRNGKey(0)
+    layers = []
+    for i in range(n_layers):
+        W = jax.random.normal(jax.random.fold_in(key, i), (D, D), jnp.float32) * (D**-0.5)
+        layers.append({"w": QuantizedTensor.quantize(W, blocksize=64)})
+
+    def layer_fn(p, a):
+        h = bnb.matmul_4bit(a, p["w"].data, p["w"].state)
+        return (a + jax.nn.gelu(h.astype(jnp.float32))).astype(a.dtype)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, D), jnp.float32).astype(jnp.bfloat16)
+
+    ref = x
+    for p in layers:
+        ref = layer_fn(p, ref)
+
+    stacked = stack_stage_params(layers, 4)
+    out = gpipe(layer_fn, stacked, x, pipe_mesh, axis="pipe")
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.05, rtol=0.05
+    )
+
+
+def test_gpipe_differentiable(mesh):
+    """Gradients flow through the pipeline (ppermute is differentiable)."""
+    from bitsandbytes_tpu.parallel import gpipe, stack_stage_params
+
+    pipe_mesh = par.make_mesh({"pipe": 2})
+    D = 64
+    layers = [
+        {"w": jax.random.normal(jax.random.PRNGKey(i), (D, D), jnp.float32) * 0.05}
+        for i in range(4)
+    ]
+    stacked = stack_stage_params(layers, 2)
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, D), jnp.float32)
+
+    def layer_fn(p, a):
+        return jnp.tanh(a @ p["w"])
+
+    def loss(stacked):
+        return jnp.sum(gpipe(layer_fn, stacked, x, pipe_mesh, axis="pipe") ** 2)
+
+    def loss_seq(stacked):
+        per = 4 // 2
+        a = x
+        for s in range(2):
+            for i in range(per):
+                a = layer_fn(jax.tree_util.tree_map(lambda t: t[s, i], stacked), a)
+        return jnp.sum(a**2)
+
+    g = jax.grad(loss)(stacked)
+    g_ref = jax.grad(loss_seq)(stacked)
+    np.testing.assert_allclose(
+        np.asarray(g["w"]), np.asarray(g_ref["w"]), rtol=1e-3, atol=1e-4
+    )

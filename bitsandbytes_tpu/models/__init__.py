@@ -5,6 +5,7 @@ for the TPU-native framework the serving slice is first-class
 (BASELINE.json configs #2-#5), so a Llama-family implementation lives here.
 """
 
+from . import moe
 from .llama import (
     KVCache,
     LlamaConfig,
@@ -20,6 +21,7 @@ from .llama import (
 )
 
 __all__ = [
+    "moe",
     "LlamaConfig",
     "KVCache",
     "init_params",

@@ -161,3 +161,22 @@ def test_gpipe_differentiable(mesh):
     np.testing.assert_allclose(
         np.asarray(g["w"]), np.asarray(g_ref["w"]), rtol=1e-3, atol=1e-4
     )
+
+
+def test_moe_expert_parallel_matches_dense(mesh):
+    """Expert-parallel MoE (experts sharded over the mesh) equals the
+    single-device dense computation; exercises the `ep` axis."""
+    from bitsandbytes_tpu.models import moe
+
+    ep_mesh = par.make_mesh({"expert": 4})
+    params, meta = moe.init_moe_params(
+        jax.random.PRNGKey(0), hidden=256, ffn=256, n_experts=8
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 256), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    ref = moe.moe_ffn(params, meta, x, top_k=2)
+    out = moe.moe_ffn_expert_parallel(params, meta, x, ep_mesh, axis="expert", top_k=2)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.03, rtol=0.05
+    )

@@ -1,5 +1,10 @@
 """Decode throughput across weight formats (reference
 benchmarking/inference_benchmark.py's {bf16, nf4, nf4-dq, int8} sweep)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,10 @@
 """Fused dequant+GEMM vs dequantize-then-matmul (reference
 benchmarking/matmul_benchmark.py), with %SoL reporting."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,10 @@
 """8-bit vs 32-bit optimizer step timing (reference
 benchmarking/optimizer_benchmark.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 import jax
 import optax

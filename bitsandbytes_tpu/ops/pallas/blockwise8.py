@@ -46,10 +46,12 @@ def _dq_kernel(q_ref, am_ref, out_ref, *, code):
     out_ref[:] = (_decode_tree256(q, code) * am_ref[:]).astype(out_ref.dtype)
 
 
-def _q_kernel(x_ref, q_ref, am_ref, *, midpoints):
+def _q_kernel(x_ref, am_ref, q_ref, *, midpoints):
+    # absmax computed by XLA outside (multi-output pallas_calls with a
+    # [TB, 1] output were observed to fault the TPU worker inside while
+    # loops); the kernel only does the compare-rank quantize.
     x = x_ref[:].astype(jnp.float32)
-    am = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-    am_ref[:] = am
+    am = am_ref[:]
     scaled = jnp.clip(x / jnp.maximum(am, 1e-38), -1.0, 1.0)
     q_ref[:] = _rank256(scaled, midpoints).astype(jnp.uint8)
 
@@ -91,24 +93,20 @@ def quantize_blockwise_pallas(x, *, code_t, blocksize) -> Tuple[jax.Array, jax.A
     nb = n // blocksize
     code = np.asarray(code_t, np.float32)
     midpoints = ((code[:-1] + code[1:]) * 0.5).astype(np.float32)
-    # quantize holds more live temporaries (rank accumulator chain): smaller tiles
     TB = max(1, _tiles(nb, blocksize) // 4)
     while nb % TB:
         TB //= 2
-    q, am = pl.pallas_call(
+    x2 = x.reshape(nb, blocksize).astype(jnp.float32)
+    am = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
+    q = pl.pallas_call(
         functools.partial(_q_kernel, midpoints=midpoints),
         grid=(nb // TB,),
         in_specs=[
             pl.BlockSpec((TB, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((TB, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, blocksize), jnp.uint8),
-            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((TB, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, blocksize), jnp.uint8),
         interpret=_interpret(),
-    )(x.reshape(nb, blocksize).astype(jnp.float32))
+    )(x2, am)
     return q.reshape(x.shape), am.reshape(-1)

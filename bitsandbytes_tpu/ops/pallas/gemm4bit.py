@@ -146,6 +146,13 @@ def _pick_tiles(M: int, N: int, K: int, blocksize: int):
     # ([28672,4096]: (3584,256); [6144,4096]: (3072,256); [4096,*]:
     # (4096,256)).  VMEM bound: TN*TKh <= 2^20 keeps the f32 decode
     # temporaries + bf16 operands + pipeline buffers inside 16 MB.
+    if M <= 16:
+        TM = M
+    else:
+        TM = next((t for t in (256, 128, 64, 32, 16, 8) if M % t == 0), None)
+    if TM is None:
+        return TM, None, None
+
     candidates = tuple(
         (tn, 256) for tn in (4096, 3584, 3072, 2048, 1536, 1024, 512, 256, 128)
     ) + (
@@ -158,15 +165,21 @@ def _pick_tiles(M: int, N: int, K: int, blocksize: int):
         (128, 256),
         (128, 128),
     )
+
+    def vmem_est(tn, tkh):
+        # out f32 + double-buffered A bf16 pair + B u8 + ~3 f32 decode temps
+        return (
+            max(TM, 16) * tn * 4
+            + 2 * 2 * max(TM, 16) * tkh * 2
+            + tn * tkh
+            + 3 * tn * tkh * 4
+        )
+
     TN = TKh = None
     for tn, tkh in candidates:
-        if ok(tn, tkh):
+        if ok(tn, tkh) and vmem_est(tn, tkh) <= 14 * 1024 * 1024:
             TN, TKh = tn, tkh
             break
-    if M <= 16:
-        TM = M
-    else:
-        TM = next((t for t in (256, 128, 64, 32, 16, 8) if M % t == 0), None)
     return TM, TN, TKh
 
 

@@ -16,6 +16,8 @@ from .sharding import (
     shard_quantized_tree,
     llama_param_specs,
     llama_tp_rules,
+    kv_cache_specs,
+    shard_kv_cache,
 )
 from .collectives import all_gather_packed, tp_gemm_4bit_allgather
 from .pipeline import gpipe, stack_stage_params
@@ -26,6 +28,8 @@ __all__ = [
     "shard_quantized_tree",
     "llama_param_specs",
     "llama_tp_rules",
+    "kv_cache_specs",
+    "shard_kv_cache",
     "all_gather_packed",
     "tp_gemm_4bit_allgather",
     "gpipe",

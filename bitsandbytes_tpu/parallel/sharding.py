@@ -169,3 +169,35 @@ def llama_tp_rules(model_axis: str = "model"):
 def llama_param_specs(mesh: Mesh, params, model_axis: str = "model"):
     """Shard a Llama param tree (fp or quantized) for tensor parallelism."""
     return shard_quantized_tree(params, mesh, llama_tp_rules(model_axis))
+
+
+def kv_cache_specs(
+    cache, data_axis: str = "data", model_axis: str = "model", mesh: Optional[Mesh] = None
+):
+    """PartitionSpec pytree for a KV cache [L, B, S, KVH, hd]: batch over
+    ``data_axis``, KV heads over ``model_axis`` (matching Megatron-style
+    attention-head sharding).  Works for bf16 KVCache and Int8KVCache
+    (scale arrays [L, B, S, KVH] shard congruently).  Axes that don't
+    divide evenly on ``mesh`` fall back to replication."""
+
+    def fit(axis, dim):
+        if mesh is not None and dim % _axis_size(mesh, axis):
+            return None
+        return axis
+
+    def spec(x):
+        if x.ndim == 5:  # k/v payload
+            return P(None, fit(data_axis, x.shape[1]), None, fit(model_axis, x.shape[3]), None)
+        if x.ndim == 4:  # int8 scales
+            return P(None, fit(data_axis, x.shape[1]), None, fit(model_axis, x.shape[3]))
+        return P()
+
+    return jax.tree_util.tree_map(spec, cache)
+
+
+def shard_kv_cache(cache, mesh: Mesh, data_axis: str = "data", model_axis: str = "model"):
+    """device_put a KV cache with batch/head sharding."""
+    specs = kv_cache_specs(cache, data_axis, model_axis, mesh=mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )

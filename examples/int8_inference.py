@@ -5,6 +5,11 @@ generates greedily through the continuous-batching engine.  Uses random
 weights here; load real ones with
 `bitsandbytes_tpu.utils.import_hf_llama(state_dict, cfg, quantize=...)`.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 import jax
 

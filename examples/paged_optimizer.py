@@ -1,6 +1,11 @@
 """Paged (host-offloaded) 8-bit optimizer states (reference
 examples/xpu/paged_xpu_training.py): states live in pinned host memory and
 stream to the device during the update."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,10 @@
 """QLoRA finetuning: frozen NF4 base + LoRA adapters + 8-bit AdamW
 (reference examples/cpu/cpu_training.py, BASELINE.json config #4)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 import jax
 import jax.numpy as jnp

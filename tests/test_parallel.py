@@ -180,3 +180,20 @@ def test_moe_expert_parallel_matches_dense(mesh):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.03, rtol=0.05
     )
+
+
+def test_sharded_kv_decode_matches(mesh, setup):
+    """Decode with the KV cache sharded (batch over data, KV heads over
+    model) matches unsharded decode."""
+    cfg, qparams, ids = setup
+    cache = L.init_kv_cache(cfg, 2, 32)
+    logits, cache = L.prefill(qparams, ids, cfg, cache)
+    tok = jnp.argmax(logits[:, -1], -1)
+    ref, _ = L.decode_step(qparams, tok, cfg, cache, jnp.asarray(16))
+
+    scache = par.shard_kv_cache(cache, mesh)
+    sparams = par.llama_param_specs(mesh, qparams)
+    out, _ = jax.jit(lambda p, t, c: L.decode_step(p, t, cfg, c, jnp.asarray(16)))(
+        sparams, tok, scache
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05, rtol=0.05)

@@ -21,6 +21,7 @@ from .sharding import (
 )
 from .collectives import all_gather_packed, tp_gemm_4bit_allgather
 from .pipeline import gpipe, stack_stage_params
+from .ring_attention import ring_attention
 
 __all__ = [
     "make_mesh",
@@ -34,4 +35,5 @@ __all__ = [
     "tp_gemm_4bit_allgather",
     "gpipe",
     "stack_stage_params",
+    "ring_attention",
 ]

@@ -197,3 +197,26 @@ def test_sharded_kv_decode_matches(mesh, setup):
         sparams, tok, scache
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_attention_matches_full(mesh, causal):
+    """Ring attention over a 4-way sequence shard equals full attention."""
+    from bitsandbytes_tpu.parallel import ring_attention
+
+    seq_mesh = par.make_mesh({"seq": 4})
+    B, T, H, d = 2, 32, 4, 64
+    key = jax.random.PRNGKey(0)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), (B, T, H, d), jnp.float32)
+        for i in range(3)
+    )
+    out = ring_attention(q, k, v, seq_mesh, axis="seq", causal=causal)
+
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d**-0.5)
+    if causal:
+        mask = jnp.tril(jnp.ones((T, T), bool))
+        s = jnp.where(mask[None, None], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)

@@ -277,6 +277,8 @@ def optimizer_update_8bit_blockwise(
                 absmax2,
                 beta1=beta1,
                 beta2=beta2,
+                beta3=beta3,
+                alpha=alpha,
                 eps=eps,
                 weight_decay=weight_decay,
                 step=step,

@@ -154,8 +154,59 @@ def _kernel(
         new_s2_ref[:] = _quantize_block(new_s2, 1.0 / am2, mid2)
 
 
+def _kernel_ademamix(
+    g_ref, p_ref, m1_ref, m2_ref, nu_ref, am_m1_ref, am_m2_ref, am_nu_ref,
+    sc_ref,  # SMEM scalars: [lr, step, alpha_t, beta3_t]
+    new_p_ref, new_m1_ref, new_m2_ref, new_nu_ref,
+    new_am_m1_ref, new_am_m2_ref, new_am_nu_ref,
+    *, code1, code2, mid1, mid2, beta1, beta2, eps, weight_decay, gnorm_scale,
+):
+    """AdEMAMix (arXiv:2409.03137; reference optim/ademamix.py +
+    kernels.cu:1005-1076): two signed momenta (fast beta1, slow beta3 with
+    schedulers) + unsigned second moment."""
+    lr = sc_ref[0, 0]
+    step_f = sc_ref[0, 1]
+    alpha_t = sc_ref[0, 2]
+    beta3_t = sc_ref[0, 3]
+
+    g = g_ref[:].astype(jnp.float32) * gnorm_scale
+    p = p_ref[:].astype(jnp.float32)
+    m1 = _decode_tree256(m1_ref[:].astype(jnp.int32), code1) * am_m1_ref[:]
+    m2 = _decode_tree256(m2_ref[:].astype(jnp.int32), code1) * am_m2_ref[:]
+    nu = _decode_tree256(nu_ref[:].astype(jnp.int32), code2) * am_nu_ref[:]
+
+    new_m1 = m1 * beta1 + (1.0 - beta1) * g
+    new_m2 = m2 * beta3_t + (1.0 - beta3_t) * g
+    new_nu = nu * beta2 + (1.0 - beta2) * g * g
+    c1 = 1.0 - jnp.exp(step_f * np.float32(np.log(beta1)))
+    c2 = jnp.sqrt(1.0 - jnp.exp(step_f * np.float32(np.log(beta2))))
+    if weight_decay > 0.0:
+        p = p * (1.0 - lr * weight_decay)
+    mixed = new_m1 / c1 + alpha_t * new_m2
+    adaptive = jnp.sqrt(new_nu) / c2 + eps
+    new_p = p - lr * (mixed / adaptive)
+
+    finite = jnp.isfinite(g)
+    new_p = jnp.where(finite, new_p, p_ref[:].astype(jnp.float32))
+    new_m1 = jnp.where(finite, new_m1, 0.0)
+    new_m2 = jnp.where(finite, new_m2, 0.0)
+    new_nu = jnp.where(finite, new_nu, 0.0)
+
+    new_p_ref[:] = new_p.astype(new_p_ref.dtype)
+    for val, q_ref, am_ref, mids in (
+        (new_m1, new_m1_ref, new_am_m1_ref, mid1),
+        (new_m2, new_m2_ref, new_am_m2_ref, mid1),
+        (new_nu, new_nu_ref, new_am_nu_ref, mid2),
+    ):
+        am = jnp.maximum(jnp.max(jnp.abs(val), axis=1, keepdims=True), 1e-38)
+        am_ref[:] = am
+        q_ref[:] = _quantize_block(val, 1.0 / am, mids)
+
+
 def pallas_optim8bit_supported(name: str) -> bool:
-    return name in ("adam", "lamb", "momentum", "lars", "lion", "rmsprop", "adagrad")
+    return name in (
+        "adam", "lamb", "momentum", "lars", "lion", "rmsprop", "adagrad", "ademamix"
+    )
 
 
 @functools.partial(
@@ -231,6 +282,52 @@ def _run(
         )(g2, p2, s1_2, am1, scalars)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("code1_t", "code2_t", "beta1", "beta2", "eps", "weight_decay", "gnorm_scale"),
+)
+def _run_ademamix(
+    g2, p2, m1_2, m2_2, nu_2, am_m1, am_m2, am_nu, scalars,
+    *, code1_t, code2_t, beta1, beta2, eps, weight_decay, gnorm_scale,
+):
+    NB = g2.shape[0]
+    TB = min(256, NB)
+    while NB % TB:
+        TB //= 2
+    grid = (NB // TB,)
+    code1 = np.asarray(code1_t, np.float32)
+    code2 = np.asarray(code2_t, np.float32)
+    mid1 = ((code1[:-1] + code1[1:]) * 0.5).astype(np.float32)
+    mid2 = ((code2[:-1] + code2[1:]) * 0.5).astype(np.float32)
+
+    spec_state = pl.BlockSpec((TB, _BS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_am = pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_sc = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    kern = functools.partial(
+        _kernel_ademamix,
+        code1=code1, code2=code2, mid1=mid1, mid2=mid2,
+        beta1=beta1, beta2=beta2, eps=eps,
+        weight_decay=weight_decay, gnorm_scale=gnorm_scale,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct(p2.shape, p2.dtype),
+        jax.ShapeDtypeStruct(m1_2.shape, jnp.uint8),
+        jax.ShapeDtypeStruct(m2_2.shape, jnp.uint8),
+        jax.ShapeDtypeStruct(nu_2.shape, jnp.uint8),
+        jax.ShapeDtypeStruct(am_m1.shape, jnp.float32),
+        jax.ShapeDtypeStruct(am_m2.shape, jnp.float32),
+        jax.ShapeDtypeStruct(am_nu.shape, jnp.float32),
+    ]
+    return pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[spec_state] * 5 + [spec_am] * 3 + [spec_sc],
+        out_specs=[spec_state, spec_state, spec_state, spec_state, spec_am, spec_am, spec_am],
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(g2, p2, m1_2, m2_2, nu_2, am_m1, am_m2, am_nu, scalars)
+
+
 def optimizer_update_8bit_pallas(
     name: str,
     g: jax.Array,
@@ -244,6 +341,8 @@ def optimizer_update_8bit_pallas(
     *,
     beta1: float,
     beta2: float,
+    beta3=0.0,
+    alpha=0.0,
     eps: float,
     weight_decay: float = 0.0,
     step,
@@ -251,8 +350,8 @@ def optimizer_update_8bit_pallas(
     gnorm_scale: float = 1.0,
 ):
     """Fused 8-bit blockwise update.  Same contract as the jnp tier
-    (functional.optim_update.optimizer_update_8bit_blockwise) minus
-    ademamix/beta3/alpha (those fall back to the jnp tier)."""
+    (functional.optim_update.optimizer_update_8bit_blockwise); ademamix
+    dispatches to the 3-state kernel with alpha_t/beta3_t SMEM scalars."""
     n = p.size
     shape = p.shape
     pad = (-n) % _BS
@@ -266,6 +365,42 @@ def optimizer_update_8bit_pallas(
 
     g2 = to2(g)
     p2 = to2(p)
+
+    if name == "ademamix":
+        m1_2, m2_2 = to2(state1[0]), to2(state1[1])
+        nu_2 = to2(state2)
+        am_m1 = absmax1[0].reshape(NB, 1)
+        am_m2 = absmax1[1].reshape(NB, 1)
+        am_nu = absmax2.reshape(NB, 1)
+        scalars = jnp.asarray(
+            [[
+                jnp.asarray(lr, jnp.float32),
+                jnp.asarray(step, jnp.float32),
+                jnp.asarray(alpha, jnp.float32),
+                jnp.asarray(beta3, jnp.float32),
+            ]],
+            jnp.float32,
+        )
+        code1_t = tuple(float(x) for x in np.asarray(qmap1).reshape(-1)[:256])
+        code2_t = tuple(float(x) for x in np.asarray(qmap2).reshape(-1)[:256])
+        new_p, nm1, nm2, nnu, nam1, nam2, namnu = _run_ademamix(
+            g2, p2, m1_2, m2_2, nu_2, am_m1, am_m2, am_nu, scalars,
+            code1_t=code1_t, code2_t=code2_t, beta1=beta1, beta2=beta2,
+            eps=eps, weight_decay=weight_decay, gnorm_scale=gnorm_scale,
+        )
+
+        def un2(x):
+            return x.reshape(-1)[:n].reshape(shape)
+
+        new_s1 = jnp.stack([un2(nm1), un2(nm2)])
+        return (
+            un2(new_p),
+            new_s1,
+            un2(nnu),
+            jnp.stack([nam1.reshape(-1), nam2.reshape(-1)]),
+            namnu.reshape(-1),
+        )
+
     s1_2 = to2(state1)
     am1 = absmax1.reshape(NB, 1)
     two_state = state2 is not None

@@ -228,3 +228,35 @@ def test_pallas_8bit_kernel_matches_oracle():
     outl = optimizer_update_8bit_pallas("lion", g, p, s1, None, qmap1, None, am1, None, **kwl)
     np.testing.assert_allclose(np.asarray(refl[0]), np.asarray(outl[0]), atol=3e-7)
     np.testing.assert_array_equal(np.asarray(refl[1]), np.asarray(outl[1]))
+
+
+def test_pallas_8bit_ademamix_matches_oracle():
+    import numpy as np
+    from bitsandbytes_tpu.functional.optim_update import _optimizer_update_8bit_jnp
+    from bitsandbytes_tpu.ops.pallas.optim8bit import optimizer_update_8bit_pallas
+    from bitsandbytes_tpu.functional.codebooks import create_dynamic_map
+    from bitsandbytes_tpu.functional.blockwise import quantize_blockwise_with_code
+
+    qmap1 = jnp.asarray(create_dynamic_map(True))
+    qmap2 = jnp.asarray(create_dynamic_map(False))
+    n = 1024 + 60
+    p = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32) * 0.01
+    m1 = jax.random.normal(jax.random.PRNGKey(2), (n,)) * 0.01
+    m2 = jax.random.normal(jax.random.PRNGKey(3), (n,)) * 0.01
+    v = jnp.abs(jax.random.normal(jax.random.PRNGKey(4), (n,))) * 1e-4
+    q1a, am1a = quantize_blockwise_with_code(m1, qmap1, 256)
+    q1b, am1b = quantize_blockwise_with_code(m2, qmap1, 256)
+    s1 = jnp.stack([q1a, q1b])
+    am1 = jnp.stack([am1a, am1b])
+    s2, am2 = quantize_blockwise_with_code(v, qmap2, 256)
+
+    kw = dict(
+        beta1=0.9, beta2=0.999, beta3=0.9999, alpha=5.0,
+        eps=1e-8, weight_decay=1e-2, step=4, lr=1e-3,
+    )
+    ref = _optimizer_update_8bit_jnp("ademamix", g, p, s1, s2, qmap1, qmap2, am1, am2, **kw)
+    out = optimizer_update_8bit_pallas("ademamix", g, p, s1, s2, qmap1, qmap2, am1, am2, **kw)
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(out[0]), atol=3e-7)
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+    np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(out[2]))

@@ -74,6 +74,7 @@ class ContinuousBatchingEngine:
         max_len: int = 1024,
         kv_dtype: str = "bf16",
         eos_id: Optional[int] = None,
+        steps_per_sync: int = 8,
     ):
         self.params = params
         self.cfg = cfg
@@ -89,14 +90,31 @@ class ContinuousBatchingEngine:
         self._pending: List[_Slot] = []
 
         cfg_ = cfg
+        self.steps_per_sync = max(1, steps_per_sync)
+        S = self.steps_per_sync
 
         @jax.jit
         def decode(params, cache, tokens, positions, active):
-            logits, cache = L.forward(
-                params, tokens[:, None], cfg_, cache=cache, start_pos=positions
+            """S greedy decode steps per host round trip: the host<->device
+            sync per step dominates wall clock on remote runtimes (measured
+            35 tok/s at 1 step/sync vs ~2.2k tok/s kernel-level), so the
+            inner loop runs on-device and tokens sync in chunks.  Slots that
+            finish mid-chunk produce extra tokens that the host discards."""
+
+            def step(i, carry):
+                toks, cache, pos, out = carry
+                logits, cache = L.forward(
+                    params, toks[:, None], cfg_, cache=cache, start_pos=pos
+                )
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                out = jax.lax.dynamic_update_index_in_dim(out, nxt, i, axis=0)
+                return nxt, cache, pos + 1, out
+
+            out0 = jnp.zeros((S, tokens.shape[0]), jnp.int32)
+            _, cache, _, out = jax.lax.fori_loop(
+                0, S, step, (tokens, cache, positions, out0)
             )
-            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-            return nxt, cache
+            return out, cache
 
         self._decode = decode
 
@@ -129,13 +147,24 @@ class ContinuousBatchingEngine:
         return [b for b in range(self.max_batch) if b not in used]
 
     def _admit(self) -> None:
+        """Admit pending requests into free slots.  All prefill dispatches
+        are issued asynchronously and their first tokens fetched with ONE
+        host sync (per-request syncs dominate wall clock on remote
+        runtimes)."""
         free = self._free_slots()
+        admitted = []
         while free and self._pending:
             slot_idx = free.pop(0)
             req = self._pending.pop(0)
-            self._prefill_into(slot_idx, req)
+            nxt = self._prefill_into(slot_idx, req)
+            admitted.append((slot_idx, req, nxt))
+        if admitted:
+            firsts = np.asarray(jnp.stack([n for _, _, n in admitted]))
+            for (b, req, _), tok in zip(admitted, firsts):
+                self.cur_token[b] = int(tok)
+                req.tokens.append(int(tok))
 
-    def _prefill_into(self, b: int, req: _Slot) -> None:
+    def _prefill_into(self, b: int, req: _Slot):
         ids = np.asarray(req.prompt, np.int32)
         pad_len = _bucket(len(ids))
         ids_p = np.zeros((1, pad_len), np.int32)
@@ -144,14 +173,13 @@ class ContinuousBatchingEngine:
         nxt, cache1 = self._prefill_one(
             self.params, cache1, jnp.asarray(ids_p), len(ids), pad_len
         )
-        # write the slot back into the big cache
+        # write the slot back into the big cache (async dispatch)
         self.cache = jax.tree_util.tree_map(
             lambda big, one: big.at[:, b].set(one[:, 0]), self.cache, cache1
         )
         self.lengths[b] = len(ids)
-        self.cur_token[b] = int(nxt)
-        req.tokens.append(int(nxt))
         self.slots[b] = req
+        return nxt
 
     def has_work(self) -> bool:
         return bool(self.slots) or bool(self._pending)
@@ -170,23 +198,28 @@ class ContinuousBatchingEngine:
             active[b] = True
         positions = jnp.asarray(np.where(active, self.lengths, 0), jnp.int32)
         tokens = jnp.asarray(self.cur_token, jnp.int32)
-        nxt, self.cache = self._decode(
+        chunk, self.cache = self._decode(
             self.params, self.cache, tokens, positions, jnp.asarray(active)
         )
-        nxt = np.asarray(nxt)
+        chunk = np.asarray(chunk)  # [S, B]
+        S = chunk.shape[0]
 
         finished: List[GenerationResult] = []
         for b in list(self.slots):
             req = self.slots[b]
-            self.lengths[b] += 1
-            tok = int(nxt[b])
-            req.tokens.append(tok)
-            self.cur_token[b] = tok
-            done_eos = self.eos_id is not None and tok == self.eos_id
-            done_len = (
-                len(req.tokens) >= req.max_new_tokens
-                or self.lengths[b] + 1 >= self.max_len
-            )
+            done_eos = done_len = False
+            for s in range(S):
+                tok = int(chunk[s, b])
+                req.tokens.append(tok)
+                self.cur_token[b] = tok
+                self.lengths[b] += 1
+                done_eos = self.eos_id is not None and tok == self.eos_id
+                done_len = (
+                    len(req.tokens) >= req.max_new_tokens
+                    or self.lengths[b] + 1 >= self.max_len
+                )
+                if done_eos or done_len:
+                    break
             if done_eos or done_len:
                 finished.append(
                     GenerationResult(

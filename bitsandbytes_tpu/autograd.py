@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .functional.fourbit import dequantize_4bit
-from .functional.gemm import gemm_4bit
+from .functional.gemm import gemm_4bit, gemm_4bit_grad_A
 from .functional.int8 import (
     int8_linear_matmul,
     int8_mixed_scaled_mm,
@@ -67,10 +67,9 @@ def _mm_4bit_fwd(A, B_packed, state):
 
 def _mm_4bit_bwd(res, g):
     B_packed, state = res
-    # grad_A = g @ dequant(B)  (reference :381-384). B is [N, K]; g is
-    # [..., N]; no transpose needed for g @ W.  No weight gradient.
-    W = dequantize_4bit(B_packed, quant_state=state).astype(g.dtype)
-    grad_A = jnp.matmul(g, W, preferred_element_type=jnp.float32).astype(g.dtype)
+    # grad_A = g @ dequant(B)  (reference :381-384), fused on TPU so the
+    # dequantized weight never hits HBM.  No weight gradient.
+    grad_A = gemm_4bit_grad_A(g, B_packed, state).astype(g.dtype)
     return (
         grad_A,
         _zero_cot(B_packed),

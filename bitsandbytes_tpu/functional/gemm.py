@@ -79,3 +79,34 @@ def gemv_4bit(
     functional.py:1300-1334).  On TPU the same fused kernel serves both; only
     the tile selection differs."""
     return gemm_4bit(A, B_packed, quant_state, bias)
+
+
+def gemm_4bit_grad_A(
+    g: jax.Array,
+    B_packed: jax.Array,
+    quant_state: QuantState,
+) -> jax.Array:
+    """``grad_A = g @ dequant(B)`` (contract over N) — the 4-bit matmul
+    backward (reference autograd/_functions.py:381-384), fused on TPU so the
+    dequantized weight is never materialized in HBM."""
+    N, K = quant_state.shape[-2], quant_state.shape[-1]
+    lead = g.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+
+    if dispatch.use_pallas():
+        from ..ops.pallas.gemm4bit import fused_gemm_nt_supported, gemm_4bit_nt_fused
+
+        if fused_gemm_nt_supported(M, N, K, quant_state.blocksize) and N % 256 == 0:
+            from .codebooks import get_4bit_code
+
+            absmax = quant_state.dequant_absmax()
+            return gemm_4bit_nt_fused(
+                g,
+                B_packed,
+                absmax,
+                code=get_4bit_code(quant_state.quant_type, quant_state.blocksize),
+                blocksize=quant_state.blocksize,
+                shapeB=(N, K),
+            )
+    W = dequantize_4bit(B_packed, quant_state=quant_state).astype(g.dtype)
+    return jnp.matmul(g, W, preferred_element_type=jnp.float32).astype(g.dtype)

@@ -345,3 +345,99 @@ def dequantize_4bit_pallas(B_packed, absmax, *, code, blocksize, shape, dtype):
     )(B_packed.reshape(N, Kh), absmax.reshape(N, K // blocksize).T)
     out = jnp.stack([hi, lo], axis=-1).reshape(N, K)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Transposed-orientation fused kernel: out = A @ dequant(B)  (contract over N)
+# — the backward of the 4-bit matmul (grad_A = g @ W, reference
+# autograd/_functions.py:381-384) without materializing W in HBM.
+# ---------------------------------------------------------------------------
+
+
+def _gemm4bit_nt_kernel(a_ref, bp_ref, scale_ref, hi_ref, lo_ref, *, code, blocksize):
+    nn = pl.program_id(2)
+    p = bp_ref[:].astype(jnp.int32)
+    TKh = p.shape[1]
+    scale = _broadcast_scale(scale_ref[:], TKh, blocksize // 2)
+    dh = (_decode_tree(p >> 4, code) * scale).astype(a_ref.dtype)
+    dl = (_decode_tree(p & 0xF, code) * scale).astype(a_ref.dtype)
+    dims = (((1,), (0,)), ((), ()))  # contract A's N with B-tile rows
+    acc_h = jax.lax.dot_general(a_ref[:], dh, dims, preferred_element_type=jnp.float32)
+    acc_l = jax.lax.dot_general(a_ref[:], dl, dims, preferred_element_type=jnp.float32)
+
+    @pl.when(nn == 0)
+    def _init():
+        hi_ref[:] = acc_h
+        lo_ref[:] = acc_l
+
+    @pl.when(nn > 0)
+    def _accum():
+        hi_ref[:] += acc_h
+        lo_ref[:] += acc_l
+
+
+def fused_gemm_nt_supported(M: int, N: int, K: int, blocksize: int) -> bool:
+    if K % blocksize or K % 2 or blocksize < 32:
+        return False
+    TM, TN, TKh = _pick_tiles(M, N, K, blocksize)
+    # contraction tile over N must also divide N
+    return TM is not None and TN is not None and TKh is not None
+
+
+@functools.partial(jax.jit, static_argnames=("code", "blocksize", "out_dtype"))
+def _gemm_4bit_nt_jit(A, B_packed, absmax, *, code, blocksize, out_dtype):
+    M, N = A.shape
+    Kh = B_packed.shape[1]
+    K = 2 * Kh
+    code_arr = np.asarray(code, dtype=np.float32)
+    TM, TN, TKh = _pick_tiles(M, N, K, blocksize)
+
+    M_pad = max(TM, 16)
+    if M < M_pad:
+        A = jnp.pad(A, ((0, M_pad - M), (0, 0)))
+        TM = M_pad
+
+    grid = (A.shape[0] // TM, Kh // TKh, N // TN)
+    sb = blocksize // 2
+    hi, lo = pl.pallas_call(
+        functools.partial(_gemm4bit_nt_kernel, code=code_arr, blocksize=blocksize),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TN), lambda m, k, n: (m, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, TKh), lambda m, k, n: (n, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TKh // sb, TN), lambda m, k, n: (k, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TM, TKh), lambda m, k, n: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TKh), lambda m, k, n: (m, k), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((A.shape[0], Kh), jnp.float32),
+            jax.ShapeDtypeStruct((A.shape[0], Kh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(A, B_packed, absmax.reshape(N, K // blocksize).T)
+    out = jnp.stack([hi, lo], axis=-1).reshape(A.shape[0], K)
+    return out[:M].astype(out_dtype)
+
+
+def gemm_4bit_nt_fused(A, B_packed, absmax, code, blocksize: int, shapeB, out_dtype=None):
+    """Fused ``A @ dequant(B)`` (no transpose): A is [..., N], B logical
+    [N, K] packed along K.  Returns [..., K]."""
+    N, K = shapeB
+    lead = A.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+    out_dtype = out_dtype or A.dtype
+    code_t = tuple(float(x) for x in np.asarray(code).reshape(-1)[:16])
+    out = _gemm_4bit_nt_jit(
+        A.reshape(M, N),
+        B_packed.reshape(N, K // 2),
+        absmax,
+        code=code_t,
+        blocksize=blocksize,
+        out_dtype=out_dtype,
+    )
+    return out.reshape(*lead, K)

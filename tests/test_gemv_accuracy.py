@@ -63,3 +63,28 @@ def test_gemv_eye_exact():
     A = jax.random.normal(jax.random.PRNGKey(0), (4, dim), jnp.float32)
     out = gemv_4bit(A, packed, qs)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(A))
+
+
+def test_gemm_4bit_grad_A_matches_dequant():
+    """Fused transposed-orientation kernel (backward) equals the
+    dequantize-then-matmul reference."""
+    from bitsandbytes_tpu.functional.gemm import gemm_4bit_grad_A
+    from bitsandbytes_tpu.ops import dispatch
+
+    N, K = 512, 512
+    W = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32) * 0.05
+    packed, qs = quantize_4bit(W, blocksize=64, layout="2d")
+    g = jax.random.normal(jax.random.PRNGKey(1), (8, N), jnp.float32).astype(jnp.bfloat16)
+    ref = jnp.matmul(
+        g.astype(jnp.float32), dequantize_4bit(packed, quant_state=qs)
+    )
+    # force the Pallas path (interpret mode on CPU)
+    old = dispatch.backend()
+    dispatch.set_backend("pallas")
+    try:
+        out = gemm_4bit_grad_A(g, packed, qs)
+    finally:
+        dispatch.set_backend(old)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=0.05, rtol=0.05
+    )

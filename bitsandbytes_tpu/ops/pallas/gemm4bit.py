@@ -154,7 +154,7 @@ def _pick_tiles(M: int, N: int, K: int, blocksize: int):
         return TM, None, None
 
     candidates = tuple(
-        (tn, 256) for tn in (4096, 3584, 3072, 2048, 1536, 1024, 512, 256, 128)
+        (tn, 256) for tn in (3584, 4096, 3072, 2048, 1536, 1024, 512, 256, 128)
     ) + (
         (1024, 512),
         (512, 512),

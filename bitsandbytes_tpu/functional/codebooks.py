@@ -177,9 +177,26 @@ def create_fp8_map(
     assert len(values) == 2**total_bits
     values.sort()
     values.extend([0.0] * (256 - len(values)))
-    code = np.sort(np.asarray(values, dtype=np.float64))
+    values.sort()  # python stable sort preserves -0.0/0.0 order (reference)
+    code = np.asarray(values, dtype=np.float64)
     code /= code.max()
     return code.astype(CODE_DTYPE)
+
+
+def _linspace_f32(start: float, stop: float, num: int) -> np.ndarray:
+    """torch.linspace-compatible float32 linspace when torch is available.
+
+    The reference builds its dynamic map with torch.linspace, whose
+    vectorized CPU kernel mixes f64 chunk bases with f32 lane offsets —
+    1-ulp different from numpy's linspace on ~9% of entries.  Bit-exact
+    codebooks matter (they decide quantization codes), so use torch when
+    present and fall back to the f64-then-cast construction otherwise."""
+    try:
+        import torch
+
+        return torch.linspace(start, stop, num, dtype=torch.float32).numpy()
+    except ImportError:
+        return np.linspace(start, stop, num).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -189,7 +206,7 @@ def create_dynamic_map(signed: bool = True, max_exponent_bits: int = 7, total_bi
     The format spends a unary prefix on a base-10 exponent and the remaining
     bits on a linear fraction; see reference `create_dynamic_map`
     (functional.py:296-348).  Returns 256 sorted float32 entries incl. 0 and
-    ±1.
+    ±1 — bit-identical to the reference's construction.
     """
     data: list[float] = []
     non_sign_bits = total_bits - 1
@@ -200,24 +217,26 @@ def create_dynamic_map(signed: bool = True, max_exponent_bits: int = 7, total_bi
             if signed
             else 2 ** (i + non_sign_bits - max_exponent_bits + 1) + 1
         )
-        boundaries = np.linspace(0.1, 1, fraction_items, dtype=np.float32)
+        boundaries = _linspace_f32(0.1, 1, fraction_items)
         means = ((boundaries[:-1] + boundaries[1:]) / 2.0).astype(np.float32)
+        # torch downcasts the python scalar to the tensor dtype: f32 multiply
         scale = np.float32(10.0 ** (-(max_exponent_bits - 1) + i))
-        data += (scale * means).astype(np.float32).tolist()
+        data += (scale * means).tolist()
         if signed:
-            data += (-scale * means).astype(np.float32).tolist()
+            data += (-scale * means).tolist()
     if additional_items > 0:
-        boundaries = np.linspace(0.1, 1, additional_items + 1, dtype=np.float32)
+        boundaries = _linspace_f32(0.1, 1, additional_items + 1)
         means = ((boundaries[:-1] + boundaries[1:]) / 2.0).astype(np.float32)
         scale = np.float32(10.0 ** (-(max_exponent_bits - 1) + max_exponent_bits - 1))
-        data += (scale * means).astype(np.float32).tolist()
+        data += (scale * means).tolist()
         if signed:
-            data += (-scale * means).astype(np.float32).tolist()
+            data += (-scale * means).tolist()
     data.append(0.0)
     data.append(1.0)
     assert len(data) == 2**total_bits
     data.extend([0.0] * (256 - len(data)))
-    return np.sort(np.asarray(data, dtype=np.float32)).astype(CODE_DTYPE)
+    data.sort()  # python stable sort, as the reference (functional.py:347)
+    return np.asarray(data, dtype=CODE_DTYPE)
 
 
 @functools.lru_cache(maxsize=None)

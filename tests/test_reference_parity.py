@@ -1,0 +1,146 @@
+"""Direct numerical cross-validation against the actual reference library.
+
+The reference bitsandbytes (mounted read-only at /root/reference) imports on
+CPU without its native lib — its pure-PyTorch `default` backend serves every
+op.  These tests feed IDENTICAL inputs to the reference and to this
+framework and require matching outputs: the strongest form of parity
+evidence (bit-exact uint8 payloads; float outputs to 1-ulp-class tolerance).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+
+torch = pytest.importorskip("torch")
+bnb_ref = pytest.importorskip("bitsandbytes")
+
+import jax
+import jax.numpy as jnp
+
+import bitsandbytes_tpu.functional as F
+
+
+def test_codebooks_bit_identical():
+    ref_dyn = bnb_ref.functional.create_dynamic_map(signed=True).numpy()
+    np.testing.assert_array_equal(F.create_dynamic_map(signed=True), ref_dyn)
+    ref_dyn_u = bnb_ref.functional.create_dynamic_map(signed=False).numpy()
+    np.testing.assert_array_equal(F.create_dynamic_map(signed=False), ref_dyn_u)
+    for qt in ("nf4", "fp4"):
+        ref_code = bnb_ref.functional.get_4bit_type(qt, device="cpu", blocksize=64).numpy()
+        np.testing.assert_array_equal(F.get_4bit_code(qt, 64), ref_code)
+    ref_fp8 = bnb_ref.functional.create_fp8_map(True, 5, 2, 8).numpy()
+    np.testing.assert_allclose(F.create_fp8_map(True, 5, 2, 8), ref_fp8, atol=1e-7)
+
+
+@pytest.mark.parametrize("quant_type", ["nf4", "fp4"])
+@pytest.mark.parametrize("blocksize", [64, 128])
+def test_quantize_4bit_matches_reference(quant_type, blocksize):
+    x = np.random.default_rng(0).normal(size=(128, 256)).astype(np.float32)
+    q_ref, qs_ref = bnb_ref.functional.quantize_4bit(
+        torch.from_numpy(x), blocksize=blocksize, quant_type=quant_type
+    )
+    packed, qs = F.quantize_4bit(
+        jnp.asarray(x), blocksize=blocksize, quant_type=quant_type
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed).reshape(-1), q_ref.numpy().reshape(-1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(qs.absmax), qs_ref.absmax.numpy(), rtol=0, atol=0
+    )
+    # dequantize round-trip agreement
+    out_ref = bnb_ref.functional.dequantize_4bit(
+        q_ref, qs_ref, blocksize=blocksize, quant_type=quant_type
+    ).numpy()
+    out = np.asarray(F.dequantize_4bit(packed, quant_state=qs))
+    np.testing.assert_allclose(out, out_ref, atol=2e-7)
+
+
+def test_quantize_4bit_double_quant_matches_reference():
+    x = np.random.default_rng(1).normal(size=(256, 256)).astype(np.float32)
+    q_ref, qs_ref = bnb_ref.functional.quantize_4bit(
+        torch.from_numpy(x), blocksize=64, quant_type="nf4", compress_statistics=True
+    )
+    packed, qs = F.quantize_4bit(
+        jnp.asarray(x), blocksize=64, quant_type="nf4", compress_statistics=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed).reshape(-1), q_ref.numpy().reshape(-1)
+    )
+    # nested absmax codes bit-identical
+    np.testing.assert_array_equal(np.asarray(qs.absmax), qs_ref.absmax.numpy())
+    np.testing.assert_allclose(
+        float(qs.offset), float(qs_ref.offset), rtol=1e-7
+    )
+    out_ref = bnb_ref.functional.dequantize_4bit(
+        q_ref, qs_ref, blocksize=64, quant_type="nf4"
+    ).numpy()
+    out = np.asarray(F.dequantize_4bit(packed, quant_state=qs))
+    np.testing.assert_allclose(out, out_ref, atol=2e-6)
+
+
+@pytest.mark.parametrize("blocksize", [256, 512])
+def test_quantize_blockwise_matches_reference(blocksize):
+    x = (np.random.default_rng(2).normal(size=(4096 * 4,)) * 0.02).astype(np.float32)
+    q_ref, qs_ref = bnb_ref.functional.quantize_blockwise(
+        torch.from_numpy(x), blocksize=blocksize
+    )
+    q, qs = F.quantize_blockwise(jnp.asarray(x), blocksize=blocksize)
+    np.testing.assert_array_equal(np.asarray(q).reshape(-1), q_ref.numpy().reshape(-1))
+    np.testing.assert_array_equal(np.asarray(qs.absmax), qs_ref.absmax.numpy())
+    out_ref = bnb_ref.functional.dequantize_blockwise(q_ref, qs_ref).numpy()
+    out = np.asarray(F.dequantize_blockwise(q, quant_state=qs))
+    np.testing.assert_allclose(out, out_ref, atol=2e-7)
+
+
+def test_int8_vectorwise_quant_matches_reference():
+    x = np.random.default_rng(3).normal(size=(64, 256)).astype(np.float16)
+    q_ref, stats_ref, _ = bnb_ref.functional.int8_vectorwise_quant(torch.from_numpy(x))
+    q, stats, _ = F.int8_vectorwise_quant(jnp.asarray(x.astype(np.float32)))
+    # round-to-nearest-even vs reference __float2int_rn: allow <=1 off-by-one
+    diff = np.abs(np.asarray(q, np.int32) - q_ref.numpy().astype(np.int32))
+    assert (diff > 1).sum() == 0 and (diff == 1).mean() < 0.01
+    np.testing.assert_allclose(np.asarray(stats), stats_ref.numpy(), rtol=1e-3)
+
+
+def test_int8_matmul_matches_reference():
+    rng = np.random.default_rng(4)
+    A = rng.normal(size=(16, 256)).astype(np.float32)
+    B = rng.normal(size=(128, 256)).astype(np.float32)
+    tA, tB = torch.from_numpy(A).half(), torch.from_numpy(B).half()
+    qA, sA, _ = bnb_ref.functional.int8_vectorwise_quant(tA)
+    qB, sB, _ = bnb_ref.functional.int8_vectorwise_quant(tB)
+    out32_ref = bnb_ref.functional.int8_linear_matmul(qA, qB)
+    out_ref = bnb_ref.functional.int8_mm_dequant(out32_ref, sA, sB).float().numpy()
+
+    out32 = F.int8_linear_matmul(jnp.asarray(qA.numpy()), jnp.asarray(qB.numpy()))
+    np.testing.assert_array_equal(np.asarray(out32), out32_ref.numpy())
+    out = np.asarray(
+        F.int8_mm_dequant(
+            out32, jnp.asarray(sA.numpy()), jnp.asarray(sB.numpy()), dtype=jnp.float32
+        )
+    )
+    np.testing.assert_allclose(out, out_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_nf4_gemv_matches_reference_path():
+    """End-to-end: our fused-gemv path vs the reference's gemv_4bit
+    (dequant+linear default implementation) on identical quantized weights."""
+    rng = np.random.default_rng(5)
+    K = N = 256
+    W = rng.normal(size=(N, K)).astype(np.float32)
+    x = (rng.normal(size=(1, K)) / np.sqrt(K)).astype(np.float32)
+
+    q_ref, qs_ref = bnb_ref.functional.quantize_4bit(
+        torch.from_numpy(W), blocksize=64, quant_type="nf4"
+    )
+    out_ref = bnb_ref.functional.gemv_4bit(
+        torch.from_numpy(x), q_ref.t(), state=qs_ref
+    ).numpy()
+
+    packed, qs = F.quantize_4bit(jnp.asarray(W), blocksize=64, quant_type="nf4")
+    out = np.asarray(F.gemv_4bit(jnp.asarray(x), packed, qs))
+    np.testing.assert_allclose(out, out_ref, rtol=2e-2, atol=2e-3)

@@ -144,3 +144,127 @@ def test_nf4_gemv_matches_reference_path():
     packed, qs = F.quantize_4bit(jnp.asarray(W), blocksize=64, quant_type="nf4")
     out = np.asarray(F.gemv_4bit(jnp.asarray(x), packed, qs))
     np.testing.assert_allclose(out, out_ref, rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "name,betas",
+    [("adam", (0.9, 0.999)), ("lion", (0.9, 0.99)), ("rmsprop", (0.99, 0.0))],
+)
+def test_optimizer_8bit_trajectory_matches_reference(name, betas):
+    """10 steps of the 8-bit blockwise optimizer vs the reference's
+    pure-PyTorch CPU implementation on identical params/grads: uint8 states
+    and params must track (reference backends/cpu/ops.py:469-580)."""
+    import bitsandbytes.functional as RF
+    from bitsandbytes_tpu.functional.optim_update import (
+        optimizer_update_8bit_blockwise as ours,
+    )
+    from bitsandbytes_tpu.functional.codebooks import create_dynamic_map
+
+    n = 4096
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(n,)).astype(np.float32)
+    two_state = name == "adam"
+
+    # reference (in-place)
+    p_ref = torch.from_numpy(p0.copy())
+    s1_ref = torch.zeros(n, dtype=torch.uint8)
+    s2_ref = torch.zeros(n, dtype=torch.uint8) if two_state else None
+    qm1 = RF.create_dynamic_map(True).float()
+    qm2 = RF.create_dynamic_map(False).float() if two_state else None
+    am1_ref = torch.zeros(n // 256)
+    am2_ref = torch.zeros(n // 256) if two_state else None
+
+    # ours (pure)
+    qmap1 = jnp.asarray(create_dynamic_map(True))
+    qmap2 = jnp.asarray(create_dynamic_map(False)) if two_state else None
+    p_j = jnp.asarray(p0)
+    s1_j = jnp.zeros(n, jnp.uint8)
+    s2_j = jnp.zeros(n, jnp.uint8) if two_state else None
+    am1_j = jnp.zeros(n // 256, jnp.float32)
+    am2_j = jnp.zeros(n // 256, jnp.float32) if two_state else None
+
+    beta1, beta2 = betas
+    lr, eps, wd = 1e-3, 1e-8, 0.0
+    for step in range(1, 11):
+        g = (rng.normal(size=(n,)) * 0.01).astype(np.float32)
+        RF.optimizer_update_8bit_blockwise(
+            name, torch.from_numpy(g.copy()), p_ref, s1_ref, s2_ref,
+            beta1, beta2, 0.0, 0.0, eps, step, lr,
+            qm1, qm2, am1_ref, am2_ref, wd, 1.0, skip_zeros=False,
+        )
+        p_j, s1_j, s2_j, am1_j, am2_j = ours(
+            name, jnp.asarray(g), p_j, s1_j, s2_j, qmap1, qmap2, am1_j, am2_j,
+            beta1=beta1, beta2=beta2, eps=eps, weight_decay=wd, step=step, lr=lr,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(p_j), p_ref.numpy(), rtol=1e-4, atol=1e-5
+    )
+    # states may differ on rare ties; bound the disagreement tightly
+    s1_diff = (np.asarray(s1_j) != s1_ref.numpy()).mean()
+    assert s1_diff < 0.005, s1_diff
+    if two_state:
+        s2_diff = (np.asarray(s2_j) != s2_ref.numpy()).mean()
+        assert s2_diff < 0.005, s2_diff
+
+
+def test_linear4bit_module_matches_reference():
+    """Module level: reference bnb.nn.Linear4bit forward (CPU) vs our
+    functional path on the same weights (reference nn/modules.py:504-637)."""
+    import bitsandbytes_tpu as bnb_tpu
+
+    K, N, B = 256, 128, 4
+    rng = np.random.default_rng(7)
+    W = (rng.normal(size=(N, K)) / np.sqrt(K)).astype(np.float32)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+
+    layer = bnb_ref.nn.Linear4bit(
+        K, N, bias=False, quant_type="nf4", compute_dtype=torch.float32
+    )
+    layer.weight = bnb_ref.nn.Params4bit(
+        data=torch.from_numpy(W.copy()),
+        quant_type="nf4",
+        blocksize=64,
+        compress_statistics=True,  # Params4bit's default (nn/modules.py:220)
+    )
+    layer = layer.cpu()  # triggers quantize-on-device-move
+    with torch.no_grad():
+        out_ref = layer(torch.from_numpy(x.copy())).numpy()
+
+    packed, qs = F.quantize_4bit(
+        jnp.asarray(W), blocksize=64, quant_type="nf4", compress_statistics=True
+    )
+    out = np.asarray(bnb_tpu.matmul_4bit(jnp.asarray(x), packed, qs))
+    np.testing.assert_allclose(out, out_ref, rtol=2e-2, atol=2e-3)
+
+
+def test_linear8bitlt_module_matches_reference():
+    """Reference Linear8bitLt (int8 weights, CPU) vs our LLM.int8() path."""
+    import bitsandbytes_tpu as bnb_tpu
+
+    K, N, B = 256, 128, 4
+    rng = np.random.default_rng(8)
+    W = (rng.normal(size=(N, K)) / np.sqrt(K)).astype(np.float32)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+
+    layer = bnb_ref.nn.Linear8bitLt(K, N, bias=False, has_fp16_weights=False)
+    layer.weight = bnb_ref.nn.Int8Params(
+        data=torch.from_numpy(W.copy()), has_fp16_weights=False, requires_grad=False
+    )
+    layer = layer.cpu()
+    with torch.no_grad():
+        xt = torch.from_numpy(x.copy()).half()
+        out_ref = layer(xt).float().numpy()
+
+    # match the reference's fp16 activation cast before int8 quantization
+    CB, SCB, _ = F.int8_vectorwise_quant(jnp.asarray(W))
+    st = bnb_tpu.MatmulLtState(CB=CB, SCB=SCB)
+    x_h = jnp.asarray(xt.float().numpy())
+    out = np.asarray(bnb_tpu.matmul(x_h, None, st), np.float32)
+    # int8 rounding (round-half-even) can differ by 1 code on ties; compare
+    # with a small error-count budget like the reference's own module tests
+    # the reference returns fp16 outputs; ours are f32 — fp16 output
+    # rounding alone is ~0.1%, int8 tie rounding adds rare larger diffs
+    err = np.abs(out - out_ref)
+    bad = (err > 0.02 + 0.02 * np.abs(out_ref)).mean()
+    assert bad < 0.02, (bad, err.max())

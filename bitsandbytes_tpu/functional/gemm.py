@@ -24,7 +24,10 @@ __all__ = ["gemm_4bit", "gemv_4bit"]
 
 def _dequant_matmul_fallback(A, B_packed, state: QuantState, bias):
     W = dequantize_4bit(B_packed, quant_state=state).astype(A.dtype)
-    out = jnp.dot(A, W.T, preferred_element_type=jnp.float32).astype(A.dtype)
+    # XLA truncates f32 dots to bf16 under --xla_allow_excess_precision;
+    # pin full precision for f32 activations (reference gemv is true f32)
+    prec = jax.lax.Precision.HIGHEST if A.dtype == jnp.float32 else None
+    out = jnp.dot(A, W.T, preferred_element_type=jnp.float32, precision=prec).astype(A.dtype)
     if bias is not None:
         out = out + bias
     return out
@@ -109,4 +112,5 @@ def gemm_4bit_grad_A(
                 shapeB=(N, K),
             )
     W = dequantize_4bit(B_packed, quant_state=quant_state).astype(g.dtype)
-    return jnp.matmul(g, W, preferred_element_type=jnp.float32).astype(g.dtype)
+    prec = jax.lax.Precision.HIGHEST if g.dtype == jnp.float32 else None
+    return jnp.matmul(g, W, preferred_element_type=jnp.float32, precision=prec).astype(g.dtype)

@@ -37,8 +37,13 @@ def _interpret() -> bool:
 
 
 def pallas_blockwise8_supported(n: int, blocksize: int) -> bool:
-    # one tile row per quant block; lanes must hold a whole block
-    return blocksize in (128, 256, 512, 1024, 2048, 4096) and n >= blocksize
+    # one tile row per quant block; lanes must hold a whole block; Mosaic
+    # needs the sublane (rows-of-blocks) dim divisible by 8
+    return (
+        blocksize in (128, 256, 512, 1024, 2048, 4096)
+        and n >= blocksize
+        and (n // blocksize) % 8 == 0
+    )
 
 
 def _dq_kernel(q_ref, am_ref, out_ref, *, code):
@@ -58,11 +63,12 @@ def _q_kernel(x_ref, am_ref, q_ref, *, midpoints):
 
 def _tiles(nb: int, blocksize: int) -> int:
     # rows-of-blocks per grid step; keep f32 tiles ~<= 512 KB (VMEM holds
-    # in+out+pipeline double-buffers + select-tree temporaries)
-    tb = max(1, (1 << 17) // blocksize)
+    # in+out+pipeline double-buffers + select-tree temporaries); Mosaic
+    # requires the sublane dim divisible by 8
+    tb = max(8, (1 << 17) // blocksize)
     while nb % tb:
         tb //= 2
-    return max(tb, 1)
+    return max(tb, 8)
 
 
 @functools.partial(jax.jit, static_argnames=("code_t", "blocksize", "dtype"))
@@ -93,8 +99,8 @@ def quantize_blockwise_pallas(x, *, code_t, blocksize) -> Tuple[jax.Array, jax.A
     nb = n // blocksize
     code = np.asarray(code_t, np.float32)
     midpoints = ((code[:-1] + code[1:]) * 0.5).astype(np.float32)
-    TB = max(1, _tiles(nb, blocksize) // 4)
-    while nb % TB:
+    TB = max(8, _tiles(nb, blocksize) // 4)
+    while nb % TB and TB > 8:
         TB //= 2
     x2 = x.reshape(nb, blocksize).astype(jnp.float32)
     am = jnp.max(jnp.abs(x2), axis=1, keepdims=True)

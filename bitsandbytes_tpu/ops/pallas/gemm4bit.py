@@ -96,6 +96,23 @@ def _broadcast_scale(scale_t, TKh: int, sb: int):
     return out
 
 
+def _dot_acc(a, b, dims):
+    """dot_general with f32 accumulation; f32 operands get a manual 3-pass
+    bf16 split (Mosaic accepts but does not honor HIGHEST for f32 operands —
+    measured bf16-level error), matching the reference's full-f32 gemv
+    numerics to ~2^-22 relative."""
+    if a.dtype == jnp.float32:
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(a_hi, b_hi, dims, preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(a_hi, b_lo, dims, preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(a_lo, b_hi, dims, preferred_element_type=jnp.float32)
+        return out
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+
 def _gemm4bit_kernel(a_even_ref, a_odd_ref, bp_ref, scale_ref, out_ref, *, code, blocksize, n_k):
     k = pl.program_id(2)
 
@@ -112,8 +129,8 @@ def _gemm4bit_kernel(a_even_ref, a_odd_ref, bp_ref, scale_ref, out_ref, *, code,
     b_lo = (_decode_tree(lo, code) * scale).astype(a_even_ref.dtype)
 
     dims = (((1,), (1,)), ((), ()))
-    acc = jax.lax.dot_general(a_even_ref[:], b_hi, dims, preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(a_odd_ref[:], b_lo, dims, preferred_element_type=jnp.float32)
+    acc = _dot_acc(a_even_ref[:], b_hi, dims)
+    acc += _dot_acc(a_odd_ref[:], b_lo, dims)
 
     @pl.when(k == 0)
     def _init():
@@ -362,8 +379,8 @@ def _gemm4bit_nt_kernel(a_ref, bp_ref, scale_ref, hi_ref, lo_ref, *, code, block
     dh = (_decode_tree(p >> 4, code) * scale).astype(a_ref.dtype)
     dl = (_decode_tree(p & 0xF, code) * scale).astype(a_ref.dtype)
     dims = (((1,), (0,)), ((), ()))  # contract A's N with B-tile rows
-    acc_h = jax.lax.dot_general(a_ref[:], dh, dims, preferred_element_type=jnp.float32)
-    acc_l = jax.lax.dot_general(a_ref[:], dl, dims, preferred_element_type=jnp.float32)
+    acc_h = _dot_acc(a_ref[:], dh, dims)
+    acc_l = _dot_acc(a_ref[:], dl, dims)
 
     @pl.when(nn == 0)
     def _init():

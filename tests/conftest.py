@@ -22,6 +22,13 @@ if os.environ.get("BNB_TEST_DEVICE", "cpu") == "cpu":
     # device_count; the config knob is what actually works.
     jax.config.update("jax_num_cpu_devices", 8)
 
+import jax as _jax
+
+# Test-side reference matmuls must be true f32 on TPU: the terminal sets
+# --xla_allow_excess_precision=true, which truncates f32 dots to bf16 and
+# makes naive jnp references LESS accurate than the kernels under test.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np
 import pytest
 

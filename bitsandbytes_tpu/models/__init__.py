@@ -5,7 +5,7 @@ for the TPU-native framework the serving slice is first-class
 (BASELINE.json configs #2-#5), so a Llama-family implementation lives here.
 """
 
-from . import moe
+from . import gpt2, moe
 from .llama import (
     KVCache,
     LlamaConfig,
@@ -22,6 +22,7 @@ from .llama import (
 
 __all__ = [
     "moe",
+    "gpt2",
     "LlamaConfig",
     "KVCache",
     "init_params",

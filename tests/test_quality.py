@@ -85,3 +85,48 @@ def test_quantized_model_keeps_quality(trained, quantize):
     cfg, params = trained
     qparams = quantize(params)
     assert _accuracy(qparams, cfg) > 0.99
+
+
+def test_gpt2_family_quality():
+    """Second model family (GPT-2/OPT class, BASELINE config #1): train on
+    the deterministic task, quantize to int8 and NF4, quality survives."""
+    from bitsandbytes_tpu.models import gpt2 as G
+
+    cfg = G.GPT2Config(
+        vocab_size=64,
+        hidden_size=256,
+        intermediate_size=512,
+        num_layers=2,
+        num_heads=4,
+        max_positions=32,
+        dtype=jnp.float32,
+    )
+    params = G.init_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(3e-3)
+    ost = opt.init(params)
+
+    @jax.jit
+    def step(params, ost, ids):
+        def loss_fn(p):
+            logits = G.forward(p, ids[:, :-1], cfg)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        u, ost = opt.update(grads, ost, params)
+        return optax.apply_updates(params, u), ost, loss
+
+    loss = None
+    for i in range(200):
+        ids = _make_batch(jax.random.PRNGKey(i), 16, 16, cfg.vocab_size)
+        params, ost, loss = step(params, ost, ids)
+    assert float(loss) < 0.1, float(loss)
+
+    def acc(p):
+        ids = _make_batch(jax.random.PRNGKey(999), 16, 16, cfg.vocab_size)
+        logits = G.forward(p, ids[:, :-1], cfg)
+        return float((jnp.argmax(logits, -1) == ids[:, 1:]).mean())
+
+    assert acc(params) > 0.99
+    assert acc(G.quantize_params_int8(params)) > 0.99
+    assert acc(G.quantize_params_4bit(params)) > 0.99

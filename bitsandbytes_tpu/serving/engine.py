@@ -48,9 +48,12 @@ class _Slot:
 
 
 def _bucket(n: int, lo: int = 16) -> int:
+    # powers of 4: at most ~log4(max_len) distinct prefill programs — each
+    # bucket is a separate XLA compile, and compiles are expensive (and on
+    # some remote runtimes, flaky) enough to be worth 4x padding waste
     b = lo
     while b < n:
-        b *= 2
+        b *= 4
     return b
 
 

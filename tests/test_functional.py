@@ -253,3 +253,30 @@ def test_stochastic_rounding_unbiased():
     err_det = np.abs(det - np.asarray(x)).mean()
     # averaged stochastic error beats deterministic rounding's bias
     assert err_sto < err_det, (err_sto, err_det)
+
+
+@pytest.mark.parametrize("storage", ["uint8", "uint16", "uint32", "bfloat16", "float32"])
+def test_quant_storage_dtypes(storage):
+    """quant_storage lets packed payloads masquerade as wider dtypes
+    (reference nn/modules.py:545 — the FSDP flat-param trick; float
+    storages alias to same-width unsigned ints here to avoid NaN
+    canonicalization corrupting payload bits)."""
+    from bitsandbytes_tpu.functional.fourbit import (
+        QUANT_STORAGE_BITS,
+        _STORAGE_ALIAS,
+        dequantize_4bit,
+        quantize_4bit,
+    )
+
+    W = jnp.asarray(np.random.default_rng(0).normal(size=(64, 128)).astype(np.float32))
+    p8, qs8 = quantize_4bit(W, blocksize=64, quant_type="nf4")
+    packed, qs = quantize_4bit(
+        W, blocksize=64, quant_type="nf4", quant_storage=getattr(jnp, storage)
+    )
+    alias = _STORAGE_ALIAS.get(jnp.dtype(getattr(jnp, storage)), jnp.dtype(getattr(jnp, storage)))
+    assert packed.dtype == alias
+    elems = QUANT_STORAGE_BITS[jnp.dtype(alias)] // 8
+    assert packed.size * elems == p8.size
+    out = dequantize_4bit(packed, quant_state=qs)
+    ref = dequantize_4bit(p8, quant_state=qs8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

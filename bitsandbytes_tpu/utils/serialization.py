@@ -203,18 +203,42 @@ _HF_LLAMA_MAP = {
 def import_hf_llama(
     hf_state_dict: dict,
     cfg,
-    quantize: Optional[Callable] = None,
+    quantize=None,
     dtype=jnp.bfloat16,
 ) -> dict:
     """Map an HF-Transformers Llama state dict (torch or numpy tensors,
     standard `model.layers.N.self_attn.q_proj.weight` naming) onto the
     :mod:`bitsandbytes_tpu.models.llama` param tree.
 
-    ``quantize``: optional per-weight hook, e.g.
-    ``lambda W: QuantizedTensor.quantize(W, quant_type='nf4')`` — the analog
-    of loading with ``load_in_4bit=True`` (reference
-    examples/int8_inference_huggingface.py:11-15).
+    ``quantize``: optional per-weight hook (callable), or one of the
+    strings ``"nf4"`` / ``"fp4"`` / ``"int8"`` — the analog of loading with
+    ``load_in_4bit=True`` / ``load_in_8bit=True`` (reference
+    examples/int8_inference_huggingface.py:11-15).  4-bit string modes use
+    the native C++/OpenMP host quantizer when available so multi-GB
+    checkpoints convert on the CPU without touching the TPU.
     """
+    if isinstance(quantize, str):
+        mode = quantize
+
+        def quantize(W):  # noqa: F811
+            if mode == "int8":
+                return Int8TensorState.quantize(W)
+            Wnp = np.asarray(W, np.float32)
+            from . import native
+
+            if native.available() and Wnp.ndim == 2 and Wnp.shape[1] % 64 == 0:
+                packed, absmax = native.quantize_4bit_host(Wnp, 64, mode)
+                state = QuantState.make(
+                    absmax=jnp.asarray(absmax),
+                    shape=Wnp.shape,
+                    quant_type=mode,
+                    blocksize=64,
+                    dtype=jnp.float32,
+                )
+                return QuantizedTensor(
+                    data=jnp.asarray(packed.reshape(Wnp.shape[0], -1)), state=state
+                )
+            return QuantizedTensor.quantize(jnp.asarray(Wnp), quant_type=mode)
 
     def to_np(t):
         if hasattr(t, "detach"):  # torch tensor

@@ -176,3 +176,25 @@ def test_find_outlier_dims():
     pool = OutlierPool()
     pool.add_outliers(idx, 128)
     assert 5 in pool.get_current_outlier_idx().tolist()
+
+
+def test_diagnostics_cli_runs():
+    """python -m bitsandbytes_tpu exits 0 and reports a healthy install
+    (reference diagnostics sanity check, diagnostics/main.py:27-39)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BNB_TPU_BACKEND="reference")
+    root = pathlib.Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, "-m", "bitsandbytes_tpu"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=root,
+        env=env,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "Installation looks healthy" in out.stdout

@@ -92,3 +92,50 @@ def test_import_hf_llama(setup):
     ids = jnp.zeros((1, 4), jnp.int32)
     logits, _ = L.forward(tree, ids, cfg)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.parametrize("mode", ["nf4", "int8"])
+def test_import_hf_llama_string_quantize(setup, mode):
+    """String quantize modes ('nf4'/'int8') — the load_in_4bit/8bit analog;
+    nf4 routes through the native host quantizer when available and must be
+    bit-identical to the jnp path."""
+    from bitsandbytes_tpu.nn.modules import Int8TensorState
+
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    D, F, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    H, KVH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    sd = {}
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        sd[p + "self_attn.q_proj.weight"] = rng.normal(size=(H * hd, D)).astype(np.float32)
+        sd[p + "self_attn.k_proj.weight"] = rng.normal(size=(KVH * hd, D)).astype(np.float32)
+        sd[p + "self_attn.v_proj.weight"] = rng.normal(size=(KVH * hd, D)).astype(np.float32)
+        sd[p + "self_attn.o_proj.weight"] = rng.normal(size=(D, H * hd)).astype(np.float32)
+        sd[p + "mlp.gate_proj.weight"] = rng.normal(size=(F, D)).astype(np.float32)
+        sd[p + "mlp.up_proj.weight"] = rng.normal(size=(F, D)).astype(np.float32)
+        sd[p + "mlp.down_proj.weight"] = rng.normal(size=(D, F)).astype(np.float32)
+        sd[p + "input_layernorm.weight"] = np.ones(D, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(D, np.float32)
+    sd["model.embed_tokens.weight"] = rng.normal(size=(V, D)).astype(np.float32)
+    sd["model.norm.weight"] = np.ones(D, np.float32)
+
+    tree = import_hf_llama(sd, cfg, quantize=mode)
+    leaf = tree["layers"][0]["wq"]
+    if mode == "int8":
+        assert isinstance(leaf, Int8TensorState)
+    else:
+        assert isinstance(leaf, QuantizedTensor)
+        # bit-identical to the jnp quantizer
+        import bitsandbytes_tpu.functional as F_
+
+        ref_packed, ref_qs = F_.quantize_4bit(
+            jnp.asarray(sd["model.layers.0.self_attn.q_proj.weight"]),
+            blocksize=64,
+            quant_type="nf4",
+            layout="2d",
+        )
+        np.testing.assert_array_equal(np.asarray(leaf.data), np.asarray(ref_packed))
+        np.testing.assert_array_equal(np.asarray(leaf.state.absmax), np.asarray(ref_qs.absmax))
+    logits, _ = L.forward(tree, jnp.zeros((1, 4), jnp.int32), cfg)
+    assert np.isfinite(np.asarray(logits)).all()

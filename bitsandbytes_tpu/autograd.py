@@ -138,11 +138,12 @@ def _mm_8bit_train(A, B_fp, threshold):
 def _mm_8bit_train_fwd(A, B_fp, threshold):
     CB, SCB, _ = int8_vectorwise_quant(B_fp)
     out = _int8_forward(A, CB, SCB, threshold, A.dtype)
-    return out, (A, CB, SCB)
+    # zero-size token carries B's dtype so the cotangent matches the primal
+    return out, (A, CB, SCB, jnp.zeros((0,), B_fp.dtype))
 
 
 def _mm_8bit_train_bwd(threshold, res, g):
-    A_res, CB, SCB = res
+    A_res, CB, SCB, b_token = res
     W_dq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
     grad_A = jnp.matmul(
         g.astype(jnp.float32), W_dq, preferred_element_type=jnp.float32
@@ -152,7 +153,7 @@ def _mm_8bit_train_bwd(threshold, res, g):
     grad_B = jnp.matmul(
         g2.T.astype(jnp.float32), A2.astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(b_token.dtype)
     return grad_A, grad_B
 
 

@@ -49,6 +49,10 @@ def gemm_4bit(
     lead = A.shape[:-1]
     M = int(np.prod(lead)) if lead else 1
 
+    if B_packed.dtype != jnp.uint8:
+        # wider quant_storage dtypes (FSDP-sharding masquerade) are a bitcast
+        B_packed = jax.lax.bitcast_convert_type(B_packed.reshape(-1), jnp.uint8)
+
     if dispatch.use_pallas():
         from ..ops.pallas.gemm4bit import fused_gemm_supported, gemm_4bit_fused
 
@@ -95,6 +99,9 @@ def gemm_4bit_grad_A(
     N, K = quant_state.shape[-2], quant_state.shape[-1]
     lead = g.shape[:-1]
     M = int(np.prod(lead)) if lead else 1
+
+    if B_packed.dtype != jnp.uint8:
+        B_packed = jax.lax.bitcast_convert_type(B_packed.reshape(-1), jnp.uint8)
 
     if dispatch.use_pallas():
         from ..ops.pallas.gemm4bit import fused_gemm_nt_supported, gemm_4bit_nt_fused

@@ -149,12 +149,6 @@ def int8_scaled_mm(
     return int8_mm_dequant(out32, row_stats, col_stats, dtype=dtype, bias=bias)
 
 
-@partial(jax.jit, static_argnames=("dtype",))
-def _outlier_correction(A_full, B_dq_masked, dtype):
-    return jnp.dot(
-        A_full.astype(dtype), B_dq_masked.astype(dtype).T, preferred_element_type=jnp.float32
-    )
-
 
 def int8_mixed_scaled_mm(
     A_quant: jax.Array,

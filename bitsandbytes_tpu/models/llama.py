@@ -334,6 +334,18 @@ def forward(
         if "wqkv" in layer:
             qkv = _apply_linear(h, layer["wqkv"], None, int8_threshold)
             q, k, v = jnp.split(qkv, [H * hd, (H + KVH) * hd], axis=-1)
+            # LoRA deltas for the fused projections apply post-split
+            for name_, dst in (("wq", "q"), ("wk", "k"), ("wv", "v")):
+                lo = l_lora.get(name_)
+                if lo is not None:
+                    hh = jnp.matmul(h, lo["a"].T.astype(h.dtype))
+                    delta = jnp.matmul(hh, lo["b"].T.astype(h.dtype)) * lo["scale"]
+                    if dst == "q":
+                        q = q + delta
+                    elif dst == "k":
+                        k = k + delta
+                    else:
+                        v = v + delta
             q = q.reshape(B, T, H, hd)
             k = k.reshape(B, T, KVH, hd)
             v = v.reshape(B, T, KVH, hd)
@@ -396,6 +408,15 @@ def forward(
         if "gate_up" in layer:
             gu = _apply_linear(h, layer["gate_up"], None, int8_threshold)
             gate, up = jnp.split(gu, 2, axis=-1)
+            for name_, is_gate in (("gate", True), ("up", False)):
+                lo = l_lora.get(name_)
+                if lo is not None:
+                    hh = jnp.matmul(h, lo["a"].T.astype(h.dtype))
+                    delta = jnp.matmul(hh, lo["b"].T.astype(h.dtype)) * lo["scale"]
+                    if is_gate:
+                        gate = gate + delta
+                    else:
+                        up = up + delta
         else:
             gate = _apply_linear(h, layer["gate"], l_lora.get("gate"), int8_threshold)
             up = _apply_linear(h, layer["up"], l_lora.get("up"), int8_threshold)

@@ -134,7 +134,6 @@ def moe_ffn_expert_parallel(
             out = out + gates_shard[:, e : e + 1] * y.astype(jnp.float32)
         return jax.lax.psum(out, axis)
 
-    other = tuple(a for a in mesh.axis_names if a != axis)
     out = shard_map(
         body,
         mesh=mesh,

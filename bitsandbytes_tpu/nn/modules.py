@@ -283,6 +283,9 @@ class Embedding4bit(nn.Module):
             )
 
         qtable = self.param("embedding", init_fn)
+        # quantized tables are frozen (reference Embedding4bit has no weight
+        # grads); without this, absmax would accumulate nonzero cotangents
+        qtable = jax.lax.stop_gradient(qtable)
         return _partial_dequant_rows(qtable, ids).astype(self.dtype)
 
 
@@ -310,6 +313,7 @@ class Embedding8bit(nn.Module):
             return Int8TensorState.quantize(W)
 
         qtable = self.param("embedding", init_fn)
+        qtable = jax.lax.stop_gradient(qtable)  # frozen int8 table
         rows = jnp.take(qtable.CB, ids.reshape(-1), axis=0).astype(jnp.float32)
         stats = jnp.take(qtable.SCB, ids.reshape(-1), axis=0)
         out = rows * (stats[:, None] / 127.0)

@@ -366,9 +366,19 @@ def optimizer_update_8bit_pallas(
     g2 = to2(g)
     p2 = to2(p)
 
+    # Pad state CODES with the index of 0.0 in their codebook: code 0 decodes
+    # to -absmax, and a ghost -absmax in the final partial block inflates the
+    # requant absmax away from the oracle (which pads float zeros).
+    zero1 = int(np.abs(np.asarray(qmap1).reshape(-1)[:256]).argmin())
+    zero2 = (
+        int(np.abs(np.asarray(qmap2).reshape(-1)[:256]).argmin())
+        if qmap2 is not None
+        else 0
+    )
+
     if name == "ademamix":
-        m1_2, m2_2 = to2(state1[0]), to2(state1[1])
-        nu_2 = to2(state2)
+        m1_2, m2_2 = to2(state1[0], zero1), to2(state1[1], zero1)
+        nu_2 = to2(state2, zero2)
         am_m1 = absmax1[0].reshape(NB, 1)
         am_m2 = absmax1[1].reshape(NB, 1)
         am_nu = absmax2.reshape(NB, 1)
@@ -401,10 +411,10 @@ def optimizer_update_8bit_pallas(
             namnu.reshape(-1),
         )
 
-    s1_2 = to2(state1)
+    s1_2 = to2(state1, zero1)
     am1 = absmax1.reshape(NB, 1)
     two_state = state2 is not None
-    s2_2 = to2(state2) if two_state else None
+    s2_2 = to2(state2, zero2) if two_state else None
     am2 = absmax2.reshape(NB, 1) if two_state else None
     scalars = jnp.asarray(
         [[jnp.asarray(lr, jnp.float32), jnp.asarray(step, jnp.float32)]], jnp.float32

@@ -149,6 +149,55 @@ def make_optimizer(
         def leaf_update(g, p, leaf):
             if g is None:
                 return None, leaf
+            if leaf["state1"].dtype == jnp.uint8 and max_unorm > 0.0:
+                # LAMB/LARS trust-region clipping needs the global update
+                # norm, which the fused blockwise kernel doesn't compute
+                # (same in the reference: its 8-bit LAMB/LARS use the
+                # non-blockwise kernels, optim/lamb.py block_wise=False).
+                # Dequantize states, run the clipped 32-bit update,
+                # requantize — identical semantics.
+                from ..functional.blockwise import (
+                    _dequantize_dispatch,
+                    _quantize_dispatch,
+                )
+
+                bs = BLOCKSIZE_8BIT_STATE
+                if name == "ademamix":
+                    raise NotImplementedError("ademamix does not use max_unorm")
+                s1f = _dequantize_dispatch(
+                    leaf["state1"], leaf["absmax1"], qmap1, bs, jnp.float32
+                )
+                s2f = None
+                if "state2" in leaf:
+                    s2f = _dequantize_dispatch(
+                        leaf["state2"], leaf["absmax2"], qmap2, bs, jnp.float32
+                    )
+                param_norm = jnp.sqrt(jnp.sum(p.astype(jnp.float32) ** 2))
+                new_p, s1f, s2f = optimizer_update_32bit(
+                    name,
+                    g,
+                    p,
+                    s1f,
+                    s2f,
+                    beta1=beta1,
+                    beta2=beta2,
+                    beta3=beta3_t,
+                    alpha=alpha_t,
+                    eps=eps,
+                    weight_decay=weight_decay,
+                    step=step,
+                    lr=lr,
+                    gnorm_scale=gnorm_scale,
+                    max_unorm=max_unorm,
+                    param_norm=param_norm,
+                )
+                s1, am1 = _quantize_dispatch(s1f, qmap1, bs)
+                new_leaf = dict(leaf, state1=s1, absmax1=am1)
+                if s2f is not None:
+                    s2, am2 = _quantize_dispatch(s2f, qmap2, bs)
+                    new_leaf.update(state2=s2, absmax2=am2)
+                update = (new_p.astype(jnp.float32) - p.astype(jnp.float32)).astype(p.dtype)
+                return update, new_leaf
             if leaf["state1"].dtype == jnp.uint8:  # 8-bit leaf (static property)
                 new_p, s1, s2, am1, am2 = optimizer_update_8bit_blockwise(
                     name,

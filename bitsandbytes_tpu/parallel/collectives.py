@@ -76,7 +76,6 @@ def tp_gemm_4bit_allgather(
     if N % n_shards or (N // n_shards) * K % 2:
         raise ValueError(f"N={N} must split into whole packed rows over {n_shards} shards")
 
-    other_axes = tuple(a for a in mesh.axis_names if a != axis_name)
     a_spec = P()  # replicated activations
     out = shard_map(
         body,

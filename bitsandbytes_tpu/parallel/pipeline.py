@@ -69,8 +69,6 @@ def gpipe(
     mb = B // n_microbatches
     x_mb = x.reshape(n_microbatches, mb, *x.shape[1:])
 
-    other_axes = tuple(a for a in mesh.axis_names if a != axis)
-
     def body(stage_p, xs):
         # stage_p leaves: [1, layers_per_stage, ...] (this stage's slice)
         stage_p = jax.tree_util.tree_map(lambda t: t[0], stage_p)
@@ -114,7 +112,6 @@ def gpipe(
         outbuf = jax.lax.all_gather(outbuf, axis)[0]  # stage 0's copy...
         return outbuf
 
-    stage_spec = jax.tree_util.tree_map(lambda _: P(axis), stage_params)
     out = shard_map(
         body,
         mesh=mesh,

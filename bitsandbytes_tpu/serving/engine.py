@@ -97,7 +97,7 @@ class ContinuousBatchingEngine:
         S = self.steps_per_sync
 
         @jax.jit
-        def decode(params, cache, tokens, positions, active):
+        def decode(params, cache, tokens, positions):
             """S greedy decode steps per host round trip: the host<->device
             sync per step dominates wall clock on remote runtimes (measured
             35 tok/s at 1 step/sync vs ~2.2k tok/s kernel-level), so the
@@ -169,7 +169,7 @@ class ContinuousBatchingEngine:
 
     def _prefill_into(self, b: int, req: _Slot):
         ids = np.asarray(req.prompt, np.int32)
-        pad_len = _bucket(len(ids))
+        pad_len = min(_bucket(len(ids)), self.max_len)
         ids_p = np.zeros((1, pad_len), np.int32)
         ids_p[0, : len(ids)] = ids
         cache1 = jax.tree_util.tree_map(lambda x: x[:, b : b + 1], self.cache)
@@ -201,9 +201,7 @@ class ContinuousBatchingEngine:
             active[b] = True
         positions = jnp.asarray(np.where(active, self.lengths, 0), jnp.int32)
         tokens = jnp.asarray(self.cur_token, jnp.int32)
-        chunk, self.cache = self._decode(
-            self.params, self.cache, tokens, positions, jnp.asarray(active)
-        )
+        chunk, self.cache = self._decode(self.params, self.cache, tokens, positions)
         chunk = np.asarray(chunk)  # [S, B]
         S = chunk.shape[0]
 

@@ -106,3 +106,24 @@ def test_fused_projection_layout_matches(setup):
     l1, _ = L.forward(q1, ids, cfg)
     l2, _ = L.forward(q2, ids, cfg)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=0.05, rtol=0.05)
+
+
+def test_lora_applies_on_fused_layout(setup):
+    """LoRA adapters must contribute when the base was quantized with
+    fuse=True (wqkv/gate_up), and their gradients must be nonzero."""
+    cfg, params, ids = setup
+    qfused = L.quantize_params_4bit(params, fuse=True)
+    lora = L.add_lora(jax.random.PRNGKey(3), cfg, rank=4,
+                      targets=("wq", "wk", "wv", "wo", "gate", "up"))
+    # give the adapters nonzero B so they change the forward
+    lora = jax.tree_util.tree_map(
+        lambda x: x + 0.01 if x.ndim == 2 else x, lora
+    )
+    l0, _ = L.forward(qfused, ids, cfg)
+    l1, _ = L.forward(qfused, ids, cfg, lora=lora)
+    assert float(jnp.abs(l1 - l0).max()) > 1e-3  # adapters take effect
+
+    g = jax.grad(lambda lo: L.lm_loss(qfused, lo, ids, cfg))(lora)
+    for name in ("wq", "wk", "wv", "gate", "up"):
+        ga = np.asarray(g["layers"][0][name]["a"])
+        assert np.abs(ga).max() > 0.0, name

@@ -198,3 +198,20 @@ def test_diagnostics_cli_runs():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "Installation looks healthy" in out.stdout
+
+
+def test_embedding_scales_get_no_gradient():
+    """Quantized embedding tables are frozen: no cotangent may reach
+    absmax/SCB (they would silently corrupt the table under a full-tree
+    optimizer)."""
+    from bitsandbytes_tpu.nn import Embedding4bit, Embedding8bit
+
+    ids = jnp.asarray([[1, 2, 3]])
+    for mod in (Embedding4bit(num_embeddings=32, features=128),
+                Embedding8bit(num_embeddings=32, features=128)):
+        params = mod.init(jax.random.PRNGKey(0), ids)
+        g = jax.grad(lambda p: jnp.sum(mod.apply(p, ids) ** 2), allow_int=True)(params)
+        for leaf in jax.tree_util.tree_leaves(g):
+            arr = np.asarray(leaf)
+            if np.issubdtype(arr.dtype, np.floating):
+                assert np.all(arr == 0.0)

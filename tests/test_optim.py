@@ -260,3 +260,66 @@ def test_pallas_8bit_ademamix_matches_oracle():
     np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(out[0]), atol=3e-7)
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
     np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(out[2]))
+
+
+def test_pallas_8bit_padding_matches_oracle_over_steps():
+    """Non-multiple-of-256 params: the kernel's state-code padding must not
+    create ghost elements that drift the last block's absmax from the
+    oracle over repeated steps."""
+    import numpy as np
+    from bitsandbytes_tpu.functional.optim_update import _optimizer_update_8bit_jnp
+    from bitsandbytes_tpu.ops.pallas.optim8bit import optimizer_update_8bit_pallas
+    from bitsandbytes_tpu.functional.codebooks import create_dynamic_map
+    from bitsandbytes_tpu.functional.blockwise import quantize_blockwise_with_code
+
+    qmap1 = jnp.asarray(create_dynamic_map(True))
+    qmap2 = jnp.asarray(create_dynamic_map(False))
+    n = 300  # 44 pad elements in the last block
+    rng = np.random.default_rng(0)
+    p_j = p_p = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    s1_j = s1_p = jnp.zeros(n, jnp.uint8)
+    s2_j = s2_p = jnp.zeros(n, jnp.uint8)
+    am1_j = am1_p = jnp.zeros(2, jnp.float32)
+    am2_j = am2_p = jnp.zeros(2, jnp.float32)
+    kw = dict(beta1=0.9, beta2=0.999, eps=1e-8, weight_decay=0.0, lr=1e-3)
+    for step in range(1, 9):
+        # shrinking gradients expose ghost-element absmax inflation
+        g = jnp.asarray((rng.normal(size=(n,)) * 0.01 / step).astype(np.float32))
+        p_j, s1_j, s2_j, am1_j, am2_j = _optimizer_update_8bit_jnp(
+            "adam", g, p_j, s1_j, s2_j, qmap1, qmap2, am1_j, am2_j, step=step, **kw
+        )
+        p_p, s1_p, s2_p, am1_p, am2_p = optimizer_update_8bit_pallas(
+            "adam", g, p_p, s1_p, s2_p, qmap1, qmap2, am1_p, am2_p, step=step, **kw
+        )
+    # bias corrections differ by 1 ulp (exp(step*log b) vs b**step), which
+    # can cross a quantization midpoint on rare ties: budget <= 1% codes off
+    # by one (reference-style error-count budget); absmax must track tightly
+    # (the ghost-element bug inflated it by ~2e-3 within 4 steps).
+    for s_j, s_p in ((s1_j, s1_p), (s2_j, s2_p)):
+        d = np.abs(np.asarray(s_j, np.int32) - np.asarray(s_p, np.int32))
+        assert d.max() <= 1 and (d > 0).mean() <= 0.01, (d.max(), (d > 0).mean())
+    np.testing.assert_allclose(np.asarray(am1_j), np.asarray(am1_p), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_j), np.asarray(p_p), atol=1e-6)
+
+
+def test_lamb8bit_trust_clipping_active():
+    """max_unorm (LAMB/LARS trust clipping) must apply on the 8-bit path:
+    under exploding gradients the LAMB update norm is bounded relative to
+    the param norm, unlike plain Adam8bit."""
+    import optax
+    from bitsandbytes_tpu import optim
+
+    n = 8192
+    p = {"w": jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)}
+    g = {"w": 100.0 * jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32)}
+
+    def step_norm(opt):
+        st = opt.init(p)
+        u, _ = opt.update(g, st, p)
+        return float(jnp.linalg.norm(u["w"]))
+
+    lamb = step_norm(optim.lamb8bit(1.0, max_unorm=0.1))  # tight trust region
+    adam = step_norm(optim.adam8bit(1.0))
+    pnorm = float(jnp.linalg.norm(p["w"]))
+    assert lamb < adam * 0.5, (lamb, adam)
+    assert lamb <= 0.1 * pnorm * 1.2  # max_unorm bound (+slack)

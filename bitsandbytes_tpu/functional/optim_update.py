@@ -24,7 +24,16 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .blockwise import dequantize_blockwise_with_code, quantize_blockwise_with_code
+import numpy as np
+
+from .blockwise import _ABSMAX_EPS, dequantize_blockwise_with_code, quantize_blockwise_with_code
+from .dynamic_segments import (
+    SegmentTable,
+    build_segments,
+    segment_decode,
+    segment_requant,
+    sign_fixup,
+)
 
 __all__ = [
     "optimizer_update_32bit",
@@ -36,6 +45,58 @@ __all__ = [
 OPTIMIZER_NAMES = ("adam", "lamb", "momentum", "lars", "rmsprop", "adagrad", "lion", "ademamix")
 _TWO_STATE = ("adam", "lamb", "ademamix")
 BLOCKSIZE_8BIT_STATE = 256  # reference ops.cu:154-157
+
+
+# -- shared 8-bit state (de)quantization helpers ----------------------------
+#
+# Both the jnp oracle below and the Pallas kernel (ops/pallas/optim8bit.py)
+# call these, so the two tiers stay bit-identical.  When the codebook is
+# piecewise-linear (the dynamic maps always are) they use segment arithmetic
+# (functional/dynamic_segments.py, ~8x fewer VPU ops than 256-entry
+# trees/compare-chains); callers fall back to gather/tree paths otherwise.
+
+
+def state_dequant_blocks(codes2d, absmax_col, table: Optional[SegmentTable], code_np):
+    """Dequantize uint8 state codes laid out ``[NB, 256]`` with per-block
+    absmax ``[NB, 1]``.  ``code_np`` is the concrete codebook (used only on
+    the fallback path)."""
+    if table is not None:
+        vals = segment_decode(codes2d.astype(jnp.int32), table)
+    else:
+        vals = jnp.take(jnp.asarray(code_np), codes2d.astype(jnp.int32))
+    return vals * absmax_col
+
+
+def state_requant_blocks(x2d, table: Optional[SegmentTable], code_np, fixup: bool):
+    """Requantize fp32 state values ``[NB, 256]``.  Returns (uint8 codes,
+    raw absmax ``[NB, 1]``).
+
+    Sign-preservation fixup (reference kernels.cu:1118-1133): bump the code
+    +/-1 when the quantized slot's sign differs from the value's — applied
+    only for signed codebooks, matching the CUDA kernel (state2's unsigned
+    map never needs it).
+    """
+    am = jnp.max(jnp.abs(x2d), axis=-1, keepdims=True)
+    scale = 1.0 / jnp.clip(am, _ABSMAX_EPS, None)
+    scaled = jnp.clip(x2d * scale, -1.0, 1.0)
+    if table is not None:
+        q = segment_requant(scaled, table)
+        if fixup:
+            q = sign_fixup(q, scaled, table)
+    else:
+        code = np.asarray(code_np, np.float32).reshape(-1)
+        mids = (code[:-1] + code[1:]) * 0.5
+        q = jnp.zeros(scaled.shape, jnp.int32)
+        for m in mids:
+            q = q + (scaled > np.float32(m)).astype(jnp.int32)
+        if fixup and code[0] < 0:
+            zero_idx = int(np.abs(code).argmin())
+            code_neg = q < zero_idx
+            mismatch = code_neg != jnp.signbit(scaled)
+            q = jnp.where(
+                mismatch, jnp.where(jnp.signbit(scaled), q - 1, q + 1), q
+            )
+    return q.astype(jnp.uint8), am
 
 
 def _core_update(
@@ -234,31 +295,47 @@ def optimizer_update_8bit_blockwise(
     step,
     lr,
     gnorm_scale: float = 1.0,
+    apply_sign_fixup: bool = True,
 ):
     """8-bit blockwise optimizer step.
 
     States are uint8 codes against ``qmap`` codebooks with per-256-element
     block float32 absmax.  Dequant -> fp32 update -> requant, matching the
-    fused CUDA kernel's semantics (kernels.cu:914-1330; oracle
-    cpu/ops.py:469-580).  NaN/Inf gradient elements skip the state update
-    (their states decay to the quantized value of the un-updated state;
-    kernels.cu:1017,1034-1041 zeroes them — we follow the CUDA kernel and
-    zero the states for non-finite gradients).
+    fused CUDA kernel's semantics (kernels.cu:914-1330).  NaN/Inf gradient
+    elements keep the param and zero their states (kernels.cu:1017,
+    1034-1041).  ``apply_sign_fixup=True`` (default) also applies the CUDA
+    kernel's sign-preservation bump on signed states (kernels.cu:1118-1133);
+    the reference's pure-torch CPU path lacks it (backends/cpu/ops.py:
+    569-580), so parity tests against that path pass False.
 
     Returns ``(new_p, new_state1, new_state2, new_absmax1, new_absmax2)``.
 
-    On TPU this routes to the fused Pallas kernel
-    (ops/pallas/optim8bit.py) — XLA lowers the 256-entry LUT gathers of the
-    jnp tier to a scalar path measured ~230x slower than the kernel's
-    select-tree/compare-rank formulation.  The qmaps must be concrete
-    (non-traced) arrays on the Pallas path — they are baked into the kernel
-    as compile-time constants.
+    On TPU this routes to the fused Pallas kernel (ops/pallas/optim8bit.py).
+    Both the kernel and the jnp oracle share the segment-arithmetic
+    (de)quantization in functional/dynamic_segments.py, so they stay
+    bit-identical.  The qmaps must be concrete (non-traced) arrays for the
+    fast paths — they are baked in as compile-time constants.
     """
     from ..ops import dispatch
 
-    if dispatch.use_pallas() and not isinstance(
-        jnp.asarray(qmap1), jax.core.Tracer
-    ):
+    def _concrete(q):
+        if q is None:
+            return None
+        qa = jnp.asarray(q)
+        if isinstance(qa, jax.core.Tracer):
+            return None
+        return tuple(float(x) for x in np.asarray(qa).reshape(-1)[:256])
+
+    code1_t = _concrete(qmap1)
+    code2_t = _concrete(qmap2)
+    concrete = code1_t is not None and (qmap2 is None or code2_t is not None)
+
+    kwargs = dict(
+        beta1=beta1, beta2=beta2, beta3=beta3, alpha=alpha, eps=eps,
+        weight_decay=weight_decay, step=step, lr=lr, gnorm_scale=gnorm_scale,
+    )
+
+    if dispatch.use_pallas() and concrete:
         from ..ops.pallas.optim8bit import (
             optimizer_update_8bit_pallas,
             pallas_optim8bit_supported,
@@ -266,45 +343,119 @@ def optimizer_update_8bit_blockwise(
 
         if pallas_optim8bit_supported(optimizer_name):
             return optimizer_update_8bit_pallas(
-                optimizer_name,
-                g,
-                p,
-                state1,
-                state2,
-                qmap1,
-                qmap2,
-                absmax1,
-                absmax2,
-                beta1=beta1,
-                beta2=beta2,
-                beta3=beta3,
-                alpha=alpha,
-                eps=eps,
-                weight_decay=weight_decay,
-                step=step,
-                lr=lr,
-                gnorm_scale=gnorm_scale,
+                optimizer_name, g, p, state1, state2, qmap1, qmap2,
+                absmax1, absmax2, apply_sign_fixup=apply_sign_fixup, **kwargs,
             )
+    if concrete:
+        return _optimizer_update_8bit_seg(
+            optimizer_name, g, p, state1, state2, absmax1, absmax2,
+            code1_t=code1_t, code2_t=code2_t, fixup=apply_sign_fixup, **kwargs,
+        )
     return _optimizer_update_8bit_jnp(
-        optimizer_name,
-        g,
-        p,
-        state1,
-        state2,
-        qmap1,
-        qmap2,
-        absmax1,
-        absmax2,
-        beta1=beta1,
-        beta2=beta2,
-        beta3=beta3,
-        alpha=alpha,
-        eps=eps,
-        weight_decay=weight_decay,
-        step=step,
-        lr=lr,
-        gnorm_scale=gnorm_scale,
+        optimizer_name, g, p, state1, state2, qmap1, qmap2, absmax1, absmax2,
+        **kwargs,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("weight_decay", "code1_t", "code2_t", "fixup"),
+)
+def _optimizer_update_8bit_seg(
+    optimizer_name: str,
+    g: jax.Array,
+    p: jax.Array,
+    state1: jax.Array,
+    state2: Optional[jax.Array],
+    absmax1: jax.Array,
+    absmax2: Optional[jax.Array],
+    *,
+    code1_t,
+    code2_t,
+    fixup: bool,
+    beta1: float,
+    beta2: float,
+    beta3: float = 0.0,
+    alpha: float = 0.0,
+    eps: float,
+    weight_decay: float = 0.0,
+    step,
+    lr,
+    gnorm_scale: float = 1.0,
+):
+    """jnp oracle, blocks layout, static codebooks: shares
+    state_dequant_blocks/state_requant_blocks with the Pallas kernel."""
+    bs = BLOCKSIZE_8BIT_STATE
+    p_dtype = p.dtype
+    shape = p.shape
+    n = p.size
+    pad = (-n) % bs
+    NB = (n + pad) // bs
+    table1 = build_segments(code1_t)
+    table2 = build_segments(code2_t) if code2_t is not None else None
+    zero1 = int(np.abs(np.asarray(code1_t)).argmin())
+    zero2 = int(np.abs(np.asarray(code2_t)).argmin()) if code2_t is not None else 0
+
+    def to2(x, fill=0):
+        flat = x.reshape(-1)
+        if pad:
+            flat = jnp.pad(flat, (0, pad), constant_values=fill)
+        return flat.reshape(NB, bs)
+
+    def un2(x, dtype=None):
+        out = x.reshape(-1)[:n].reshape(shape)
+        return out.astype(dtype) if dtype is not None else out
+
+    g2 = to2(g).astype(jnp.float32) * gnorm_scale
+    p2 = to2(p).astype(jnp.float32)
+
+    if optimizer_name == "ademamix":
+        s1 = jnp.stack(
+            [
+                state_dequant_blocks(to2(state1[0], zero1), absmax1[0].reshape(NB, 1), table1, code1_t),
+                state_dequant_blocks(to2(state1[1], zero1), absmax1[1].reshape(NB, 1), table1, code1_t),
+            ]
+        )
+    else:
+        s1 = state_dequant_blocks(to2(state1, zero1), absmax1.reshape(NB, 1), table1, code1_t)
+    s2 = None
+    if state2 is not None:
+        s2 = state_dequant_blocks(to2(state2, zero2), absmax2.reshape(NB, 1), table2, code2_t)
+
+    new_p, new_s1, new_s2 = _core_update(
+        optimizer_name, g2, p2, s1, s2,
+        beta1=beta1, beta2=beta2, beta3=beta3, alpha=alpha, eps=eps,
+        weight_decay=weight_decay, step=step, lr=lr,
+        update_scale=jnp.float32(1.0),
+    )
+
+    finite = jnp.isfinite(g2)
+    new_p = jnp.where(finite, new_p, p2)
+    if optimizer_name == "ademamix":
+        new_s1 = jnp.where(finite[None], new_s1, 0.0)
+    else:
+        new_s1 = jnp.where(finite, new_s1, 0.0)
+    if new_s2 is not None:
+        new_s2 = jnp.where(finite, new_s2, 0.0)
+
+    if optimizer_name == "ademamix":
+        q1_1, am1_1 = state_requant_blocks(new_s1[0], table1, code1_t, fixup)
+        q1_2, am1_2 = state_requant_blocks(new_s1[1], table1, code1_t, fixup)
+        new_state1 = jnp.stack([un2(q1_1), un2(q1_2)])
+        new_absmax1 = jnp.stack([am1_1.reshape(-1), am1_2.reshape(-1)])
+    else:
+        q1, am1 = state_requant_blocks(new_s1, table1, code1_t, fixup)
+        new_state1 = un2(q1)
+        new_absmax1 = am1.reshape(-1)
+    new_state2 = new_absmax2 = None
+    if new_s2 is not None:
+        # unsigned second-moment map: the CUDA kernel skips the fixup there
+        q2_, am2 = state_requant_blocks(new_s2, table2, code2_t, False)
+        new_state2 = un2(q2_)
+        new_absmax2 = am2.reshape(-1)
+
+    return un2(new_p, p_dtype), new_state1, new_state2, new_absmax1, new_absmax2
 
 
 @partial(

@@ -59,10 +59,38 @@ def _rank256(x, midpoints: np.ndarray):
     return rank
 
 
-def _quantize_block(x, scale_inv, midpoints):
-    """Blockwise requantize a [TB, 256] tile given per-row 1/absmax."""
-    scaled = jnp.clip(x * scale_inv, -1.0, 1.0)
-    return _rank256(scaled, midpoints).astype(jnp.uint8)
+def _dequant_state(codes_i32, am, code: np.ndarray):
+    """State dequant: segment arithmetic when the codebook is piecewise-
+    linear (the dynamic maps; ~8x fewer VPU ops), else the select tree.
+    Shares functional.optim_update.state_dequant_blocks so the Pallas tier
+    is bit-identical to the jnp oracle."""
+    from ...functional.dynamic_segments import build_segments
+    from ...functional.optim_update import state_dequant_blocks
+
+    table = build_segments(code)
+    if table is not None:
+        return state_dequant_blocks(codes_i32, am, table, None)
+    return _decode_tree256(codes_i32, code) * am
+
+
+def _requant_state(x, code: np.ndarray, midpoints: np.ndarray, fixup: bool):
+    """State requant on a [TB, 256] tile.  Returns (uint8 codes, raw absmax
+    [TB, 1]).  Segment arithmetic + sign fixup when piecewise-linear (shared
+    with the oracle); compare-rank chain otherwise."""
+    from ...functional.dynamic_segments import build_segments
+    from ...functional.optim_update import state_requant_blocks
+
+    table = build_segments(code)
+    if table is not None:
+        return state_requant_blocks(x, table, None, fixup)
+    am = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    scaled = jnp.clip(x * (1.0 / jnp.maximum(am, 1e-38)), -1.0, 1.0)
+    q = _rank256(scaled, midpoints)
+    if fixup and code[0] < 0:
+        zero_idx = int(np.abs(code).argmin())
+        mismatch = (q < zero_idx) != jnp.signbit(scaled)
+        q = jnp.where(mismatch, jnp.where(jnp.signbit(scaled), q - 1, q + 1), q)
+    return q.astype(jnp.uint8), am
 
 
 def _kernel(
@@ -89,16 +117,17 @@ def _kernel(
     eps: float,
     weight_decay: float,
     gnorm_scale: float,
+    fixup: bool,
 ):
     lr = sc_ref[0, 0]
     step_f = sc_ref[0, 1]
 
     g = g_ref[:].astype(jnp.float32) * gnorm_scale
     p = p_ref[:].astype(jnp.float32)
-    s1 = _decode_tree256(s1_ref[:].astype(jnp.int32), code1) * am1_ref[:]
+    s1 = _dequant_state(s1_ref[:].astype(jnp.int32), am1_ref[:], code1)
     s2 = None
     if s2_ref is not None:
-        s2 = _decode_tree256(s2_ref[:].astype(jnp.int32), code2) * am2_ref[:]
+        s2 = _dequant_state(s2_ref[:].astype(jnp.int32), am2_ref[:], code2)
 
     # fp32 update math (same grouping as the jnp oracle / kernels.cu:932-934)
     if name in ("adam", "lamb"):
@@ -143,15 +172,14 @@ def _kernel(
 
     new_p_ref[:] = new_p.astype(new_p_ref.dtype)
 
-    am1 = jnp.max(jnp.abs(new_s1), axis=1, keepdims=True)
-    am1 = jnp.maximum(am1, 1e-38)
+    q1, am1 = _requant_state(new_s1, code1, mid1, fixup)
     new_am1_ref[:] = am1
-    new_s1_ref[:] = _quantize_block(new_s1, 1.0 / am1, mid1)
+    new_s1_ref[:] = q1
     if new_s2 is not None:
-        am2 = jnp.max(jnp.abs(new_s2), axis=1, keepdims=True)
-        am2 = jnp.maximum(am2, 1e-38)
+        # unsigned second-moment map: CUDA kernel skips the fixup there
+        q2, am2 = _requant_state(new_s2, code2, mid2, False)
         new_am2_ref[:] = am2
-        new_s2_ref[:] = _quantize_block(new_s2, 1.0 / am2, mid2)
+        new_s2_ref[:] = q2
 
 
 def _kernel_ademamix(
@@ -160,6 +188,7 @@ def _kernel_ademamix(
     new_p_ref, new_m1_ref, new_m2_ref, new_nu_ref,
     new_am_m1_ref, new_am_m2_ref, new_am_nu_ref,
     *, code1, code2, mid1, mid2, beta1, beta2, eps, weight_decay, gnorm_scale,
+    fixup,
 ):
     """AdEMAMix (arXiv:2409.03137; reference optim/ademamix.py +
     kernels.cu:1005-1076): two signed momenta (fast beta1, slow beta3 with
@@ -171,9 +200,9 @@ def _kernel_ademamix(
 
     g = g_ref[:].astype(jnp.float32) * gnorm_scale
     p = p_ref[:].astype(jnp.float32)
-    m1 = _decode_tree256(m1_ref[:].astype(jnp.int32), code1) * am_m1_ref[:]
-    m2 = _decode_tree256(m2_ref[:].astype(jnp.int32), code1) * am_m2_ref[:]
-    nu = _decode_tree256(nu_ref[:].astype(jnp.int32), code2) * am_nu_ref[:]
+    m1 = _dequant_state(m1_ref[:].astype(jnp.int32), am_m1_ref[:], code1)
+    m2 = _dequant_state(m2_ref[:].astype(jnp.int32), am_m2_ref[:], code1)
+    nu = _dequant_state(nu_ref[:].astype(jnp.int32), am_nu_ref[:], code2)
 
     new_m1 = m1 * beta1 + (1.0 - beta1) * g
     new_m2 = m2 * beta3_t + (1.0 - beta3_t) * g
@@ -193,14 +222,16 @@ def _kernel_ademamix(
     new_nu = jnp.where(finite, new_nu, 0.0)
 
     new_p_ref[:] = new_p.astype(new_p_ref.dtype)
-    for val, q_ref, am_ref, mids in (
-        (new_m1, new_m1_ref, new_am_m1_ref, mid1),
-        (new_m2, new_m2_ref, new_am_m2_ref, mid1),
-        (new_nu, new_nu_ref, new_am_nu_ref, mid2),
+    # the two momenta use the signed map (fixup applies); nu's unsigned map
+    # does not (kernels.cu:1118-1133 "not needed for state2")
+    for val, q_ref, am_ref, cd, mids, fx in (
+        (new_m1, new_m1_ref, new_am_m1_ref, code1, mid1, fixup),
+        (new_m2, new_m2_ref, new_am_m2_ref, code1, mid1, fixup),
+        (new_nu, new_nu_ref, new_am_nu_ref, code2, mid2, False),
     ):
-        am = jnp.maximum(jnp.max(jnp.abs(val), axis=1, keepdims=True), 1e-38)
+        q, am = _requant_state(val, cd, mids, fx)
         am_ref[:] = am
-        q_ref[:] = _quantize_block(val, 1.0 / am, mids)
+        q_ref[:] = q
 
 
 def pallas_optim8bit_supported(name: str) -> bool:
@@ -213,12 +244,13 @@ def pallas_optim8bit_supported(name: str) -> bool:
     jax.jit,
     static_argnames=(
         "name", "code1_t", "code2_t", "beta1", "beta2", "eps",
-        "weight_decay", "gnorm_scale", "two_state",
+        "weight_decay", "gnorm_scale", "two_state", "fixup",
     ),
 )
 def _run(
     g2, p2, s1_2, s2_2, am1, am2, scalars,
-    *, name, code1_t, code2_t, beta1, beta2, eps, weight_decay, gnorm_scale, two_state,
+    *, name, code1_t, code2_t, beta1, beta2, eps, weight_decay, gnorm_scale,
+    two_state, fixup,
 ):
     NB = g2.shape[0]
     TB = min(512, NB)
@@ -248,6 +280,7 @@ def _run(
         eps=eps,
         weight_decay=weight_decay,
         gnorm_scale=gnorm_scale,
+        fixup=fixup,
     )
 
     if two_state:
@@ -284,11 +317,11 @@ def _run(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("code1_t", "code2_t", "beta1", "beta2", "eps", "weight_decay", "gnorm_scale"),
+    static_argnames=("code1_t", "code2_t", "beta1", "beta2", "eps", "weight_decay", "gnorm_scale", "fixup"),
 )
 def _run_ademamix(
     g2, p2, m1_2, m2_2, nu_2, am_m1, am_m2, am_nu, scalars,
-    *, code1_t, code2_t, beta1, beta2, eps, weight_decay, gnorm_scale,
+    *, code1_t, code2_t, beta1, beta2, eps, weight_decay, gnorm_scale, fixup,
 ):
     NB = g2.shape[0]
     TB = min(256, NB)
@@ -308,7 +341,7 @@ def _run_ademamix(
         _kernel_ademamix,
         code1=code1, code2=code2, mid1=mid1, mid2=mid2,
         beta1=beta1, beta2=beta2, eps=eps,
-        weight_decay=weight_decay, gnorm_scale=gnorm_scale,
+        weight_decay=weight_decay, gnorm_scale=gnorm_scale, fixup=fixup,
     )
     out_shape = [
         jax.ShapeDtypeStruct(p2.shape, p2.dtype),
@@ -348,6 +381,7 @@ def optimizer_update_8bit_pallas(
     step,
     lr,
     gnorm_scale: float = 1.0,
+    apply_sign_fixup: bool = True,
 ):
     """Fused 8-bit blockwise update.  Same contract as the jnp tier
     (functional.optim_update.optimizer_update_8bit_blockwise); ademamix
@@ -397,6 +431,7 @@ def optimizer_update_8bit_pallas(
             g2, p2, m1_2, m2_2, nu_2, am_m1, am_m2, am_nu, scalars,
             code1_t=code1_t, code2_t=code2_t, beta1=beta1, beta2=beta2,
             eps=eps, weight_decay=weight_decay, gnorm_scale=gnorm_scale,
+            fixup=apply_sign_fixup,
         )
 
         def un2(x):
@@ -428,6 +463,7 @@ def optimizer_update_8bit_pallas(
         name=name, code1_t=code1_t, code2_t=code2_t,
         beta1=beta1, beta2=beta2, eps=eps,
         weight_decay=weight_decay, gnorm_scale=gnorm_scale, two_state=two_state,
+        fixup=apply_sign_fixup,
     )
     if two_state:
         new_p, new_s1, new_s2, new_am1, new_am2 = out

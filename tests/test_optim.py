@@ -323,3 +323,46 @@ def test_lamb8bit_trust_clipping_active():
     pnorm = float(jnp.linalg.norm(p["w"]))
     assert lamb < adam * 0.5, (lamb, adam)
     assert lamb <= 0.1 * pnorm * 1.2  # max_unorm bound (+slack)
+
+
+def test_sign_preservation_fixup():
+    """Reference kernels.cu:1118-1133: when the requantized signed state's
+    slot sign differs from the true value's sign, the code is bumped +/-1
+    toward the correct sign.  Tiny negative values that would round to the
+    +0.0 slot must land on the first negative code instead."""
+    from bitsandbytes_tpu.functional.codebooks import create_dynamic_map
+    from bitsandbytes_tpu.functional.optim_update import state_requant_blocks
+    from bitsandbytes_tpu.functional.dynamic_segments import build_segments
+
+    code = np.asarray(create_dynamic_map(signed=True), np.float32)
+    table = build_segments(code)
+    assert table is not None and table.signed
+    zero_idx = int(np.abs(code).argmin())
+
+    # one block: a large anchor (sets absmax) + tiny +/- values that fall
+    # inside the zero bucket after scaling
+    x = np.zeros((1, 256), np.float32)
+    x[0, 0] = 1.0
+    x[0, 1] = 1e-9   # +tiny -> zero slot, sign matches (+0.0) -> no bump
+    x[0, 2] = -1e-9  # -tiny -> zero slot, signbit differs -> bump to code-1
+    x[0, 3] = -0.0   # signbit(-0.0)=1 -> bump (faithful to CUDA signbit)
+    xj = jnp.asarray(x)
+
+    q_fix, _ = state_requant_blocks(xj, table, None, True)
+    q_nofix, _ = state_requant_blocks(xj, table, None, False)
+    q_fix, q_nofix = np.asarray(q_fix), np.asarray(q_nofix)
+
+    assert q_nofix[0, 1] == zero_idx and q_nofix[0, 2] == zero_idx
+    assert q_fix[0, 1] == zero_idx          # positive tiny: no bump
+    assert q_fix[0, 2] == zero_idx - 1      # negative tiny: bumped
+    assert q_fix[0, 3] == zero_idx - 1      # -0.0: signbit mismatch
+    # decoded signs now match the true signs
+    assert code[q_fix[0, 2]] < 0
+
+    # unsigned map: fixup is a no-op (reference: "not needed for state2")
+    ucode = np.asarray(create_dynamic_map(signed=False), np.float32)
+    utable = build_segments(ucode)
+    xu = np.abs(x)
+    qu_fix, _ = state_requant_blocks(jnp.asarray(xu), utable, None, True)
+    qu_nofix, _ = state_requant_blocks(jnp.asarray(xu), utable, None, False)
+    np.testing.assert_array_equal(np.asarray(qu_fix), np.asarray(qu_nofix))

@@ -200,12 +200,14 @@ def test_optimizer_8bit_trajectory_matches_reference(name, betas):
     np.testing.assert_allclose(
         np.asarray(p_j), p_ref.numpy(), rtol=1e-4, atol=1e-5
     )
-    # states may differ on rare ties; bound the disagreement tightly
+    # states may differ on rare ties (the segment-arithmetic requant's
+    # half-up rounding vs torch.bucketize at exact midpoints, ~1-2 ulp);
+    # measured disagreement is ~0.005% over 10 steps — budget 10x that
     s1_diff = (np.asarray(s1_j) != s1_ref.numpy()).mean()
-    assert s1_diff < 0.005, s1_diff
+    assert s1_diff < 0.0005, s1_diff
     if two_state:
         s2_diff = (np.asarray(s2_j) != s2_ref.numpy()).mean()
-        assert s2_diff < 0.005, s2_diff
+        assert s2_diff < 0.0005, s2_diff
 
 
 def test_linear4bit_module_matches_reference():

@@ -96,6 +96,25 @@ def main():
         int8_tok_s = max(int8_tok_s, _time_decode(q8params, cfg, 2 * bs, cache_len, iters))
 
     ratio = nf4_tok_s / bf16_tok_s
+
+    # %SoL under an HBM-bound model (BASELINE.md requirement): bytes a
+    # decode step must move = layer weights (packed payload + absmax for
+    # quantized; 2B/param for bf16) + KV-cache read + the bf16 lm_head.
+    from bitsandbytes_tpu.utils.benchmark import sol_fraction
+
+    D, F_, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    H, KVH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    params_per_layer = (H + 2 * KVH) * hd * D + D * H * hd + 3 * D * F_
+    kv_bytes = lambda b: 2 * b * cache_len * KVH * hd * 2
+    lm_head_bytes = V * D * 2
+    w_bf16 = params_per_layer * 2
+    w_nf4 = params_per_layer // 2 + params_per_layer // 64 * 4
+    w_int8 = params_per_layer + (H + 2 * KVH) * hd * 4 + (D + 2 * F_) * 4 + D * 4
+
+    def sol(tok_s, batch, w_layer):
+        step_bytes = num_layers * (w_layer + kv_bytes(batch)) + lm_head_bytes
+        return round(sol_fraction(batch / tok_s, step_bytes), 4)
+
     print(
         json.dumps(
             {
@@ -108,6 +127,9 @@ def main():
                     "nf4_tok_s_2xbatch": round(nf4_tok_s, 2),
                     "int8_tok_s_2xbatch": round(int8_tok_s, 2),
                     "int8_ratio_2xbatch": round(int8_tok_s / bf16_tok_s, 4),
+                    "sol_bf16": sol(bf16_tok_s, bs, w_bf16),
+                    "sol_nf4": sol(nf4_tok_s, 2 * bs, w_nf4),
+                    "sol_int8": sol(int8_tok_s, 2 * bs, w_int8),
                     "num_layers": num_layers,
                     "batch_bf16": bs,
                     "batch_nf4": 2 * bs,

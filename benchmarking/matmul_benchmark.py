@@ -20,10 +20,11 @@ def main():
         A = jax.random.normal(jax.random.PRNGKey(0), (M, K)).astype(jnp.bfloat16)
         W = jax.random.normal(jax.random.PRNGKey(1), (N, K), jnp.float32) * 0.02
         packed, qs = quantize_4bit(W, blocksize=bs, layout="2d")
+        packed_p, qs_p = quantize_4bit(W, blocksize=bs, layout="paired")
         nbytes = M * K * 2 + N * K // 2 + N * (K // bs) * 4 + M * N * 4
 
-        fused = lambda a: gemm_4bit(a, packed, qs)
-        s1 = device_loop_time(fused, (A,), iters=50)
+        s0 = device_loop_time(lambda a: gemm_4bit(a, packed_p, qs_p), (A,), iters=50)
+        s1 = device_loop_time(lambda a: gemm_4bit(a, packed, qs), (A,), iters=50)
 
         def dq_mm(a):
             Wd = dequantize_4bit(packed, quant_state=qs).astype(a.dtype)
@@ -32,9 +33,35 @@ def main():
 
         s2 = device_loop_time(dq_mm, (A,), iters=50)
         print(
-            f"M={M:4d}: fused {s1*1e3:7.3f} ms ({100*sol_fraction(s1, nbytes):3.0f}% SoL)"
-            f"  dequant+mm {s2*1e3:7.3f} ms  speedup {s2/s1:.2f}x"
+            f"M={M:4d}: paired {s0*1e3:7.3f} ms ({100*sol_fraction(s0, nbytes):3.0f}% SoL)"
+            f"  fused-2d {s1*1e3:7.3f} ms"
+            f"  dequant+mm {s2*1e3:7.3f} ms  speedup {s2/s0:.2f}x"
         )
+
+    # int8 training backward: int8 grad_B (reference autograd/_functions.py:
+    # 216-233) vs the fp32 matmul it replaces
+    import bitsandbytes_tpu as bnb
+
+    M, N, K = 4096, 4096, 4096
+    A = jax.random.normal(jax.random.PRNGKey(2), (M, K)).astype(jnp.bfloat16)
+    Wf = jax.random.normal(jax.random.PRNGKey(3), (N, K), jnp.float32) * 0.02
+    state = bnb.MatmulLtState(has_fp16_weights=True)
+
+    def train_bwd_int8(a, w):
+        return jax.grad(lambda ww: jnp.sum(bnb.matmul(a, ww, state) ** 2))(w)
+
+    def train_bwd_fp32(a, w):
+        out = jax.lax.dot_general(a.astype(jnp.float32), w,
+                                  (((1,), (1,)), ((), ())))
+        g = 2.0 * out
+        return jax.lax.dot_general(g, a.astype(jnp.float32), (((0,), (0,)), ((), ())))
+
+    si = device_loop_time(lambda a: train_bwd_int8(a, Wf), (A,), iters=20)
+    sf = device_loop_time(lambda a: train_bwd_fp32(a, Wf), (A,), iters=20)
+    print(
+        f"int8 training fwd+bwd (grad_B int8) {si*1e3:7.3f} ms"
+        f"  vs fp32 fwd+bwd {sf*1e3:7.3f} ms  speedup {sf/si:.2f}x"
+    )
 
 
 if __name__ == "__main__":

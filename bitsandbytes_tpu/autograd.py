@@ -129,6 +129,17 @@ def _int8_forward(A, CB, SCB, threshold, out_dtype):
     return out.reshape(*lead, CB.shape[0])
 
 
+def _colwise_quant(x2d):
+    """Column-wise symmetric int8 quantization: per-column absmax scales.
+    The transposed half of the reference's `int8_double_quant`
+    (functional.py:1590-1638) — what the int8 training backward contracts
+    with."""
+    x_f = x2d.astype(jnp.float32)
+    col_stats = jnp.max(jnp.abs(x_f), axis=0)
+    q = jnp.round(x_f * (127.0 / jnp.clip(col_stats[None, :], 1e-38, None)))
+    return jnp.clip(q, -127, 127).astype(jnp.int8), col_stats
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _mm_8bit_train(A, B_fp, threshold):
     CB, SCB, _ = int8_vectorwise_quant(B_fp)
@@ -136,25 +147,57 @@ def _mm_8bit_train(A, B_fp, threshold):
 
 
 def _mm_8bit_train_fwd(A, B_fp, threshold):
+    """LLM.int8() training forward.
+
+    Residuals follow reference MatMul8bitLt (autograd/_functions.py:135-141,
+    186-191): the *column-quantized* int8 activations ``CAt`` + their scales
+    are saved for ``grad_B`` — int8 residual memory instead of fp16 — plus
+    the fp outlier columns when threshold > 0 (the reference's ``subA``,
+    stored here as a masked dense array for jit-static shapes).
+    """
     CB, SCB, _ = int8_vectorwise_quant(B_fp)
     out = _int8_forward(A, CB, SCB, threshold, A.dtype)
+    A2 = A.reshape(-1, A.shape[-1])
+    if threshold > 0.0:
+        # exclude outlier elements from the int8 residual; keep them in fp
+        outliers = jnp.abs(A2.astype(jnp.float32)) >= threshold
+        outlier_cols = jnp.any(outliers, axis=0)
+        A_in = jnp.where(outlier_cols[None, :], 0.0, A2.astype(jnp.float32))
+        CAt, SCAt = _colwise_quant(A_in)
+        subA = (A2.astype(jnp.float32) * outlier_cols[None, :]).astype(A.dtype)
+    else:
+        CAt, SCAt = _colwise_quant(A2)
+        subA = None
     # zero-size token carries B's dtype so the cotangent matches the primal
-    return out, (A, CB, SCB, jnp.zeros((0,), B_fp.dtype))
+    return out, (CAt, SCAt, subA, A.shape, CB, SCB, jnp.zeros((0,), B_fp.dtype))
 
 
 def _mm_8bit_train_bwd(threshold, res, g):
-    A_res, CB, SCB, b_token = res
+    """Backward per reference autograd/_functions.py:202-242: ``grad_B`` is
+    an int8 matmul of the column-quantized grad with the column-quantized
+    activations (+ fp outlier-column correction); ``grad_A`` contracts with
+    the dequantized int8 weight."""
+    CAt, SCAt, subA, A_shape, CB, SCB, b_token = res
     W_dq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
     grad_A = jnp.matmul(
         g.astype(jnp.float32), W_dq, preferred_element_type=jnp.float32
     ).astype(g.dtype)
+
     g2 = g.reshape(-1, g.shape[-1])
-    A2 = A_res.reshape(-1, A_res.shape[-1])
-    grad_B = jnp.matmul(
-        g2.T.astype(jnp.float32), A2.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).astype(b_token.dtype)
-    return grad_A, grad_B
+    Cgt, SCgt = _colwise_quant(g2)
+    # grad_B[n, k] = sum_m g[m, n] A[m, k]: int8 dot of the transposed
+    # column-quantized operands, dequantized by SCgt[n] * SCAt[k] / 127^2
+    grad_B = int8_scaled_mm(
+        Cgt.T, CAt.T, SCgt, SCAt, dtype=jnp.float32
+    )
+    if subA is not None:
+        # outlier columns were zeroed in CAt; add their fp contribution
+        # (reference: grad_B[:, idx] += grad_output.t() @ subA)
+        grad_B = grad_B + jnp.matmul(
+            g2.T.astype(jnp.float32), subA.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    return grad_A, grad_B.astype(b_token.dtype)
 
 
 _mm_8bit_train.defvjp(_mm_8bit_train_fwd, _mm_8bit_train_bwd)

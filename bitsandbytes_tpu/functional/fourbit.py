@@ -92,8 +92,8 @@ def unpack_4bit(packed: jax.Array) -> jax.Array:
     return jnp.stack([hi, lo], axis=-1).reshape(-1)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _quantize_4bit_impl(A, midpoints, order, blocksize, quant_type):
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _quantize_4bit_impl(A, midpoints, order, blocksize, quant_type, pack_mode="flat"):
     flat = A.reshape(-1).astype(jnp.float32)
     n = flat.shape[0]
     rem = n % blocksize
@@ -115,6 +115,13 @@ def _quantize_4bit_impl(A, midpoints, order, blocksize, quant_type):
         rank = rank + (scaled > midpoints[i]).astype(jnp.uint8)
     if quant_type != "nf4":  # nf4 code is sorted: rank == bit pattern
         rank = jnp.take(order, rank.astype(jnp.int32))
+    if pack_mode == "paired":
+        # N-paired decode layout: byte[n2, k] = (q[2n2, k] << 4) | q[2n2+1, k]
+        from ..ops.pallas.gemm4bit_paired import pack_npaired
+
+        N_, K_ = A.shape
+        packed = pack_npaired(rank.astype(jnp.uint8).reshape(N_, K_))
+        return packed, absmax  # absmax stays in flat block order here
     packed = pack_4bit(rank.astype(jnp.uint8))
     return packed.reshape(-1, 1), absmax
 
@@ -132,20 +139,32 @@ def quantize_4bit(
     Returns ``(packed, QuantState)``.  ``layout="flat"`` gives the
     reference-canonical ``[(n+1)//2, 1]`` shape (checkpoint interop);
     ``layout="2d"`` gives ``packed [N, K//2]`` / ``absmax [N, K//bs]`` — the
-    TPU-native layout for sharding (row-major identical bytes, so the two are
+    TPU-native sharding layout (row-major identical bytes, so the two are
     free reshapes of each other; requires 2-D input with K % blocksize == 0).
+    ``layout="paired"`` gives the decode-kernel layout: ``packed [N/2, K]``
+    pairing weight rows (2i, 2i+1) per byte with absmax stored transposed
+    ``[K/bs, N]`` (ops/pallas/gemm4bit_paired.py; requires N % 2 == 0).
 
     With ``compress_statistics`` the float32 absmax is itself blockwise-
     quantized (dynamic 8-bit code, blocksize 256) around its mean offset —
-    reference functional.py:938-951.
+    reference functional.py:938-951.  Nested absmax codes always stay in
+    flat block order (checkpoint interop), even for ``"paired"``.
     """
     if blocksize not in VALID_4BIT_BLOCKSIZES:
         raise ValueError(f"blocksize {blocksize} not in {VALID_4BIT_BLOCKSIZES}")
-    if layout not in ("flat", "2d"):
-        raise ValueError(f"layout must be 'flat' or '2d', got {layout!r}")
+    if layout not in ("flat", "2d", "paired"):
+        raise ValueError(f"layout must be 'flat', '2d' or 'paired', got {layout!r}")
     if layout == "2d" and (A.ndim != 2 or A.shape[-1] % blocksize or A.shape[-1] % 2):
         raise ValueError("layout='2d' requires a 2-D input with K % blocksize == 0")
+    if layout == "paired":
+        if A.ndim != 2 or A.shape[-1] % blocksize or A.shape[0] % 2:
+            raise ValueError(
+                "layout='paired' requires a 2-D input with K % blocksize == 0 and even N"
+            )
+        if jnp.dtype(quant_storage) != jnp.dtype(jnp.uint8):
+            raise ValueError("layout='paired' supports only uint8 quant_storage")
     midpoints, order = _quantize_tables(quant_type, blocksize)
+    pack_mode = "paired" if layout == "paired" else "flat"
     # Large 2-D weights quantize in row slabs (rows own whole quant blocks
     # when K % blocksize == 0, so slabbing is bit-identical): one huge
     # elementwise graph per 100M+-element weight is too big for some TPU
@@ -158,18 +177,20 @@ def quantize_4bit(
         and A.size > _SLAB_ELEMS
     ):
         N_, K_ = A.shape
-        slab = max(1, _SLAB_ELEMS // K_)
+        slab = max(2, (_SLAB_ELEMS // K_) & ~1)  # even rows: whole byte pairs
         packed_parts, absmax_parts = [], []
         for i in range(0, N_, slab):
             p_i, am_i = _quantize_4bit_impl(
-                A[i : i + slab], midpoints, order, blocksize, quant_type
+                A[i : i + slab], midpoints, order, blocksize, quant_type, pack_mode
             )
             packed_parts.append(p_i)
             absmax_parts.append(am_i)
         packed = jnp.concatenate(packed_parts, axis=0)
         absmax = jnp.concatenate(absmax_parts, axis=0)
     else:
-        packed, absmax = _quantize_4bit_impl(A, midpoints, order, blocksize, quant_type)
+        packed, absmax = _quantize_4bit_impl(
+            A, midpoints, order, blocksize, quant_type, pack_mode
+        )
     code = jnp.asarray(get_4bit_code(quant_type, blocksize))
 
     if compress_statistics:
@@ -192,8 +213,12 @@ def quantize_4bit(
             shape=A.shape,
             offset=offset,
             state2=state2,
+            layout=layout,
         )
     else:
+        if layout == "paired":
+            # kernel-native transposed orientation, paid once at load
+            absmax = absmax.reshape(A.shape[0], A.shape[1] // blocksize).T
         state = QuantState(
             absmax=absmax,
             code=code,
@@ -201,7 +226,11 @@ def quantize_4bit(
             quant_type=quant_type,
             dtype=A.dtype,
             shape=A.shape,
+            layout=layout,
         )
+
+    if layout == "paired":
+        return packed, state  # already [N/2, K] uint8
 
     storage = _storage_dtype(quant_storage)
     elems = QUANT_STORAGE_BITS[storage] // 8
@@ -252,6 +281,12 @@ def dequantize_4bit(
         quant_type = quant_state.quant_type
         shape = quant_state.shape
         dtype = quant_state.dtype
+        if quant_state.layout == "paired":
+            # relayout to the K-adjacent-pair byte order, then share the path
+            from ..ops.pallas.gemm4bit_paired import repack_npaired_to_2d
+
+            N_, K_ = int(shape[-2]), int(shape[-1])
+            A = repack_npaired_to_2d(A.reshape(N_ // 2, K_))
     if shape is None or absmax is None:
         raise ValueError("either quant_state or (absmax, shape) must be provided")
     if A.dtype != jnp.uint8:

@@ -22,6 +22,14 @@ from .quant_state import QuantState
 __all__ = ["gemm_4bit", "gemv_4bit"]
 
 
+def _paired_scale_mode(M: int, N: int, K: int) -> str:
+    """Scale-application mode for the paired kernel.  The on-device sweep
+    (experiments/sweep_paired.py, v5e) has post-dot sub-dot scaling winning
+    or tying per-element expander scaling on every Llama decode shape within
+    a single process (earlier cross-process comparisons were pool noise)."""
+    return "subdot"
+
+
 def _dequant_matmul_fallback(A, B_packed, state: QuantState, bias):
     W = dequantize_4bit(B_packed, quant_state=state).astype(A.dtype)
     # XLA truncates f32 dots to bf16 under --xla_allow_excess_precision;
@@ -53,7 +61,29 @@ def gemm_4bit(
         # wider quant_storage dtypes (FSDP-sharding masquerade) are a bitcast
         B_packed = jax.lax.bitcast_convert_type(B_packed.reshape(-1), jnp.uint8)
 
-    if dispatch.use_pallas():
+    if dispatch.use_pallas() and quant_state.layout == "paired":
+        from ..ops.pallas.gemm4bit_paired import (
+            gemm_4bit_paired,
+            paired_gemm_supported,
+        )
+
+        if paired_gemm_supported(M, N, K, quant_state.blocksize):
+            from .codebooks import get_4bit_code
+
+            out = gemm_4bit_paired(
+                A,
+                B_packed.reshape(N // 2, K),
+                quant_state.dequant_absmax_t(),
+                code=get_4bit_code(quant_state.quant_type, quant_state.blocksize),
+                blocksize=quant_state.blocksize,
+                shapeB=(N, K),
+                scale_mode=_paired_scale_mode(M, N, K),
+            )
+            if bias is not None:
+                out = out + bias
+            return out
+
+    if dispatch.use_pallas() and quant_state.layout != "paired":
         from ..ops.pallas.gemm4bit import fused_gemm_supported, gemm_4bit_fused
 
         if fused_gemm_supported(M, N, K, quant_state.blocksize):
@@ -103,7 +133,25 @@ def gemm_4bit_grad_A(
     if B_packed.dtype != jnp.uint8:
         B_packed = jax.lax.bitcast_convert_type(B_packed.reshape(-1), jnp.uint8)
 
-    if dispatch.use_pallas():
+    if dispatch.use_pallas() and quant_state.layout == "paired":
+        from ..ops.pallas.gemm4bit_paired import (
+            gemm_4bit_paired_nt,
+            paired_gemm_nt_supported,
+        )
+
+        if paired_gemm_nt_supported(M, N, K, quant_state.blocksize):
+            from .codebooks import get_4bit_code
+
+            return gemm_4bit_paired_nt(
+                g,
+                B_packed.reshape(N // 2, K),
+                quant_state.dequant_absmax_t(),
+                code=get_4bit_code(quant_state.quant_type, quant_state.blocksize),
+                blocksize=quant_state.blocksize,
+                shapeB=(N, K),
+            )
+
+    if dispatch.use_pallas() and quant_state.layout != "paired":
         from ..ops.pallas.gemm4bit import fused_gemm_nt_supported, gemm_4bit_nt_fused
 
         if fused_gemm_nt_supported(M, N, K, quant_state.blocksize) and N % 256 == 0:

@@ -32,6 +32,9 @@ class QuantState:
     Attributes:
       absmax: per-block scale.  float32 ``[nblocks]`` when not nested, or
         uint8 codes of the same shape when ``nested`` (double quantization).
+        In the ``"paired"`` layout (non-nested) it is stored *transposed*
+        ``[K/blocksize, N]`` — the fused kernel's native orientation, so no
+        per-call transpose copy is paid on the decode path.
       code: the codebook used for the payload (16 entries for 4-bit types,
         256 for 8-bit), float32.
       blocksize: quantization block size (static).
@@ -41,6 +44,11 @@ class QuantState:
       offset: scalar mean of absmax (float32) when nested, else None.
       state2: a ``QuantState`` describing the quantized absmax when nested
         (code=dynamic 8-bit map, blocksize=256), else None.
+      layout: payload byte layout (static): ``"flat"`` = reference-interop
+        ``[(n)//2, 1]`` K-adjacent pairs; ``"2d"`` = same bytes as
+        ``[N, K/2]``; ``"paired"`` = TPU decode layout ``[N/2, K]`` pairing
+        weight rows (2i, 2i+1) per byte (ops/pallas/gemm4bit_paired.py).
+        Serialization always canonicalizes to the interop byte order.
 
     Mirrors reference functional.py:420-610 including the packed dict
     (de)serialization format used for checkpoint interop.
@@ -54,17 +62,19 @@ class QuantState:
     shape: tuple
     offset: Optional[jax.Array] = None
     state2: Optional["QuantState"] = None
+    layout: str = "flat"
 
     # -- pytree protocol -----------------------------------------------------
     def tree_flatten(self):
         children = (self.absmax, self.code, self.offset, self.state2)
-        aux = (self.blocksize, self.quant_type, self.dtype, tuple(self.shape))
+        aux = (self.blocksize, self.quant_type, self.dtype, tuple(self.shape), self.layout)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         absmax, code, offset, state2 = children
-        blocksize, quant_type, dtype, shape = aux
+        blocksize, quant_type, dtype, shape = aux[:4]
+        layout = aux[4] if len(aux) > 4 else "flat"
         return cls(
             absmax=absmax,
             code=code,
@@ -74,6 +84,7 @@ class QuantState:
             shape=shape,
             offset=offset,
             state2=state2,
+            layout=layout,
         )
 
     @property
@@ -85,13 +96,16 @@ class QuantState:
         return int(np.prod(self.shape))
 
     def dequant_absmax(self) -> jax.Array:
-        """Recover float32 per-block absmax (resolving double quantization).
+        """Recover float32 per-block absmax in canonical flat block order
+        (resolving double quantization).
 
         Reconstruction matches reference backends/default/ops.py:335-340:
         ``absmax = code2[absmax_8bit] * absmax2 + offset``.
         """
         if not self.nested:
-            return self.absmax
+            if self.layout == "paired":
+                return self.absmax.T.reshape(-1)  # [K/bs, N] -> flat [N*K/bs]
+            return self.absmax.reshape(-1)
         from .blockwise import dequantize_blockwise_with_code
 
         absmax = dequantize_blockwise_with_code(
@@ -101,7 +115,16 @@ class QuantState:
             self.state2.blocksize,
             jnp.float32,
         )
-        return absmax + self.offset
+        return (absmax + self.offset).reshape(-1)
+
+    def dequant_absmax_t(self) -> jax.Array:
+        """Per-block absmax in the fused kernel's transposed orientation
+        ``[K/blocksize, N]``.  Free (stored that way) for the non-nested
+        ``"paired"`` layout; other layouts pay one transpose per call."""
+        if not self.nested and self.layout == "paired":
+            return self.absmax
+        N, K = int(self.shape[-2]), int(self.shape[-1])
+        return self.dequant_absmax().reshape(N, K // self.blocksize).T
 
     # -- serialization (reference functional.py:493-578; utils.py:166-197) ---
     def as_dict(self, packed: bool = False) -> dict:
@@ -118,7 +141,10 @@ class QuantState:
             "dtype": jnp.dtype(self.dtype).name,
             "shape": tuple(int(s) for s in self.shape),
         }
-        tensors = {"absmax": np.asarray(self.absmax), "quant_map": np.asarray(self.code)}
+        absmax_canon = self.absmax
+        if not self.nested and self.layout == "paired":
+            absmax_canon = self.absmax.T.reshape(-1)  # canonical flat order
+        tensors = {"absmax": np.asarray(absmax_canon), "quant_map": np.asarray(self.code)}
         if self.nested:
             qs_dict.update(
                 {
@@ -182,6 +208,7 @@ class QuantState:
         dtype,
         offset: Optional[jax.Array] = None,
         state2: Optional["QuantState"] = None,
+        layout: str = "flat",
     ) -> "QuantState":
         code = jnp.asarray(get_4bit_code(quant_type, blocksize)) if quant_type != "8bit" else None
         return cls(
@@ -193,4 +220,5 @@ class QuantState:
             shape=tuple(shape),
             offset=offset,
             state2=state2,
+            layout=layout,
         )

@@ -77,14 +77,24 @@ class QuantizedTensor:
         quant_type: str = "nf4",
         compress_statistics: bool = False,
         quant_storage=jnp.uint8,
+        layout: str = "auto",
     ) -> "QuantizedTensor":
-        # Prefer the TPU-native 2-D payload layout: the flat [(n)//2, 1]
-        # interop shape costs a relayout copy per kernel call (2x on decode).
-        layout = (
-            "2d"
-            if W.ndim == 2 and W.shape[-1] % blocksize == 0 and W.shape[-1] % 2 == 0
-            else "flat"
-        )
+        # layout="auto": prefer the N-paired decode layout (fastest fused
+        # dequant+matmul kernel, ops/pallas/gemm4bit_paired.py), then the
+        # TPU-native 2-D payload layout; the flat [(n)//2, 1] interop shape
+        # costs a relayout copy per kernel call (2x on decode).
+        if layout == "auto":
+            if (
+                W.ndim == 2
+                and W.shape[-1] % blocksize == 0
+                and W.shape[0] % 2 == 0
+                and jnp.dtype(quant_storage) == jnp.dtype(jnp.uint8)
+            ):
+                layout = "paired"
+            elif W.ndim == 2 and W.shape[-1] % blocksize == 0 and W.shape[-1] % 2 == 0:
+                layout = "2d"
+            else:
+                layout = "flat"
         packed, state = quantize_4bit(
             W,
             blocksize=blocksize,
@@ -97,6 +107,43 @@ class QuantizedTensor:
 
     def dequantize(self) -> jax.Array:
         return dequantize_4bit(self.data, quant_state=self.state)
+
+    def to_layout(self, layout: str) -> "QuantizedTensor":
+        """Relayout the packed payload between ``flat``/``2d`` (reference-
+        interop K-adjacent byte order) and ``paired`` (the TPU decode-kernel
+        order, ops/pallas/gemm4bit_paired.py).  Byte-exact round trip; the
+        non-nested absmax transposes with the payload."""
+        cur = self.state.layout
+        if cur == layout:
+            return self
+        state = self.state
+        N, K = (int(s) for s in state.shape)
+        data = self.data
+        if data.dtype != jnp.uint8:
+            data = jax.lax.bitcast_convert_type(data.reshape(-1), jnp.uint8)
+        bs = state.blocksize
+        if layout == "paired" or cur == "paired":
+            from ..ops.pallas.gemm4bit_paired import (
+                repack_2d_to_npaired,
+                repack_npaired_to_2d,
+            )
+        if layout == "paired":
+            if N % 2 or K % bs:
+                raise ValueError(f"paired layout needs even N and K % {bs} == 0")
+            new_data = repack_2d_to_npaired(data.reshape(N, K // 2), (N, K))
+            new_absmax = (
+                state.absmax if state.nested else state.absmax.reshape(N, K // bs).T
+            )
+        elif cur == "paired":
+            new_data = repack_npaired_to_2d(data.reshape(N // 2, K))
+            if layout == "flat":
+                new_data = new_data.reshape(-1, 1)
+            new_absmax = state.absmax if state.nested else state.absmax.T.reshape(-1)
+        else:  # flat <-> 2d: same bytes, free reshape
+            new_data = data.reshape(N, K // 2) if layout == "2d" else data.reshape(-1, 1)
+            new_absmax = state.absmax
+        new_state = dataclasses.replace(state, absmax=new_absmax, layout=layout)
+        return QuantizedTensor(data=new_data, state=new_state)
 
     @property
     def shape(self):
@@ -240,6 +287,11 @@ def _partial_dequant_rows(qweight: QuantizedTensor, ids: jax.Array) -> jax.Array
     Requires the embedding dim to be a multiple of 2 and the row length to be
     a multiple of the blocksize (so rows own whole quant blocks).
     """
+    if qweight.state.layout == "paired":
+        # paired bytes mix adjacent rows — relayout to row-major byte order
+        # (embedding tables should be quantized with layout="2d" to avoid
+        # paying this per lookup)
+        qweight = qweight.to_layout("2d")
     state = qweight.state
     V, D = state.shape
     bs = state.blocksize
@@ -278,8 +330,15 @@ class Embedding4bit(nn.Module):
     def __call__(self, ids):
         def init_fn(key):
             W = self.embedding_init(key, (self.num_embeddings, self.features), jnp.float32)
+            # embeddings gather rows (not matmul): the row-major 2d byte
+            # layout keeps partial dequantization a contiguous row slice
+            layout = (
+                "2d"
+                if self.features % self.blocksize == 0 and self.features % 2 == 0
+                else "flat"
+            )
             return QuantizedTensor.quantize(
-                W, blocksize=self.blocksize, quant_type=self.quant_type
+                W, blocksize=self.blocksize, quant_type=self.quant_type, layout=layout
             )
 
         qtable = self.param("embedding", init_fn)

@@ -19,7 +19,7 @@ from .sharding import (
     kv_cache_specs,
     shard_kv_cache,
 )
-from .collectives import all_gather_packed, tp_gemm_4bit_allgather
+from .collectives import all_gather_packed, tp_gemm_4bit_allgather, tp_gemm_4bit_ring
 from .pipeline import gpipe, stack_stage_params
 from .ring_attention import ring_attention
 
@@ -33,6 +33,7 @@ __all__ = [
     "shard_kv_cache",
     "all_gather_packed",
     "tp_gemm_4bit_allgather",
+    "tp_gemm_4bit_ring",
     "gpipe",
     "stack_stage_params",
     "ring_attention",

@@ -55,27 +55,67 @@ def _axis_size(mesh: Optional[Mesh], axis) -> int:
 def _quantized_tensor_specs(qt: QuantizedTensor, spec: P, mesh: Optional[Mesh] = None) -> QuantizedTensor:
     """Derive per-leaf PartitionSpecs for a QuantizedTensor from the spec of
     its *logical* [N, K] weight.  Returns a QuantizedTensor-shaped pytree of
-    PartitionSpecs."""
+    PartitionSpecs.
+
+    Sharding rules per payload layout (invariant: a shard owns whole
+    quantization blocks and whole packed bytes):
+
+    * ``"flat"`` ``[(NK)/2, 1]``: N-sharding only (contiguous rows of the
+      flat byte stream); K-sharding raises (relayout to ``"paired"``).
+    * ``"2d"`` ``[N, K/2]``: N-sharding (whole rows); K-sharding raises
+      (the flat absmax cannot be split along K contiguously — relayout to
+      ``"paired"``, whose absmax is stored ``[K/bs, N]``).
+    * ``"paired"`` ``[N/2, K]``: N-sharding in whole byte rows (the shard
+      size must keep row *pairs* together: (N/shards) % 2 == 0) and
+      K-sharding in whole quant-block multiples ((K/shards) % bs == 0) —
+      the FSDP-style layout the reference gets from its `quant_storage`
+      masquerade (nn/modules.py:545, docs/source/fsdp_qlora.md:11-15),
+      here with explicit block-aligned guarantees.  Axes that don't divide
+      cleanly fall back to replication on that axis.
+    """
     state = qt.state
     N, K = state.shape
     n_axis = spec[0] if len(spec) > 0 else None
     k_axis = spec[1] if len(spec) > 1 else None
-    if k_axis is not None:
+    layout = state.layout
+    bs = state.blocksize
+
+    if k_axis is not None and layout != "paired":
         raise NotImplementedError(
-            "K-sharding of flat-packed 4-bit weights requires layout='2d'; "
-            "use N-sharding (column parallel) or replicate"
+            "K-sharding of 4-bit weights requires layout='paired' "
+            "([N/2, K] payload with [K/bs, N] absmax); relayout with "
+            "quantize_4bit(..., layout='paired')"
         )
-    shards = _axis_size(mesh, n_axis)
-    if N % shards:
-        n_axis = None  # can't split whole rows: replicate
-    # packed payload: [(N*K)//2, 1]; N-shard = contiguous rows of the flat view
-    data_spec = P(n_axis, None)
-    # absmax: flat [N*K/bs] float32, aligned to row boundaries (K % bs cases
-    # pad within the flat stream, so only shard when block count divides).
-    nblocks = -(-N * K // state.blocksize)
-    absmax_axis = n_axis if (N * K) % state.blocksize == 0 and nblocks % max(shards, 1) == 0 else None
+
+    n_sh = _axis_size(mesh, n_axis)
+    k_sh = _axis_size(mesh, k_axis)
+    if N % max(n_sh, 1):
+        n_axis = None
+        n_sh = 1
+
+    if layout == "paired":
+        # dim0 = row pairs: each shard must own whole byte rows AND whole
+        # row pairs; dim1 = K: each shard must own whole quant blocks.
+        if n_axis is not None and (N // n_sh) % 2:
+            n_axis = None
+        if k_axis is not None and (K // max(k_sh, 1)) % bs:
+            k_axis = None
+        data_spec = P(n_axis, k_axis)
+        absmax_spec = P() if state.nested else P(k_axis, n_axis)  # [K/bs, N]
+    else:
+        # flat payload: N-shard = contiguous rows of the flat byte stream;
+        # 2d payload: N-shard = whole rows
+        data_spec = P(n_axis, None)
+        # absmax: flat [N*K/bs] float32, aligned to row boundaries (K % bs
+        # cases pad within the flat stream; only shard when blocks divide).
+        nblocks = -(-N * K // bs)
+        absmax_axis = (
+            n_axis if (N * K) % bs == 0 and nblocks % max(n_sh, 1) == 0 else None
+        )
+        absmax_spec = P() if state.nested else P(absmax_axis)
+
     state_specs = QuantState(
-        absmax=P(absmax_axis),
+        absmax=absmax_spec,
         code=P(),  # 16-entry codebook: replicate
         blocksize=state.blocksize,
         quant_type=state.quant_type,
@@ -95,9 +135,8 @@ def _quantized_tensor_specs(qt: QuantizedTensor, spec: P, mesh: Optional[Mesh] =
             dtype=state.state2.dtype,
             shape=state.state2.shape,
         ),
+        layout=layout,
     )
-    if state.state2 is not None:
-        state_specs = dataclasses.replace(state_specs, absmax=P())
     return QuantizedTensor(data=data_spec, state=state_specs)
 
 

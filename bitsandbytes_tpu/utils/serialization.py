@@ -72,9 +72,12 @@ def state_dict_from_params(params: Any) -> dict:
         key = _path_str(path)
         if isinstance(leaf, QuantizedTensor):
             # checkpoint interop uses the reference-canonical flat
-            # [(n+1)//2, 1] payload shape (reference backends/cuda/ops.py:392)
-            out[key] = _np_safe(leaf.data).reshape(-1, 1)
-            for comp, arr in leaf.state.as_dict(packed=True).items():
+            # [(n+1)//2, 1] payload shape and K-adjacent byte order
+            # (reference backends/cuda/ops.py:392); the TPU 'paired' decode
+            # layout is relaid out on save so checkpoints stay portable
+            canon = leaf.to_layout("flat") if leaf.state.layout == "paired" else leaf
+            out[key] = _np_safe(canon.data).reshape(-1, 1)
+            for comp, arr in canon.state.as_dict(packed=True).items():
                 out[f"{key}.{comp}"] = _np_safe(arr)
         elif isinstance(leaf, Int8TensorState):
             out[key] = _np_safe(leaf.CB)
@@ -111,7 +114,9 @@ def params_from_state_dict(sd: dict, template: Optional[Any] = None) -> Any:
         if isinstance(leaf, QuantizedTensor):
             if not isinstance(val, QuantizedTensor):
                 raise TypeError(f"{key!r}: expected quantized leaf in checkpoint")
-            return val
+            # adopt the template's payload layout (e.g. the 'paired' decode
+            # layout) — a one-time load-side relayout
+            return val.to_layout(leaf.state.layout)
         if isinstance(leaf, Int8TensorState):
             if not isinstance(val, Int8TensorState):
                 raise TypeError(f"{key!r}: expected int8 leaf in checkpoint")

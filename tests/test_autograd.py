@@ -53,9 +53,11 @@ def test_matmul_4bit_no_weight_grad():
 
 
 def test_int8_training_grad_matches_reference():
-    """has_fp16_weights training path: grad_B is the straight-through
-    g^T @ A; grad_A uses the dequantized int8 weight (reference
-    MatMul8bitLt backward, autograd/_functions.py:202-242)."""
+    """has_fp16_weights training path: grad_B is an *int8* matmul of the
+    column-quantized grad with the column-quantized activations — the
+    LLM.int8() training-speed path (reference MatMul8bitLt backward,
+    autograd/_functions.py:216-233) — and grad_A uses the dequantized int8
+    weight (:235-238)."""
     K, N, B = 256, 128, 8
     Wf = jax.random.normal(jax.random.PRNGKey(0), (N, K), jnp.float32) * 0.1
     A = jax.random.normal(jax.random.PRNGKey(1), (B, K), jnp.float32)
@@ -71,9 +73,25 @@ def test_int8_training_grad_matches_reference():
     out = bnb.matmul(A, Wf, state)
     g_out = 2.0 * out.astype(jnp.float32)
     ga_ref = g_out @ Wdq
-    gw_ref = g_out.T @ A
+    gw_exact = np.asarray(g_out.T @ A)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref), rtol=2e-2, atol=2e-2)
-    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=2e-2, atol=2e-2)
+
+    # the exact int8 reference for grad_B: quantize g columns and A columns
+    # to int8, int8 matmul, dequantize (mirrors _functions.py:221-228)
+    def colq(x):
+        cs = np.abs(np.asarray(x)).max(axis=0)
+        q = np.clip(np.round(np.asarray(x) * (127.0 / np.maximum(cs, 1e-38))), -127, 127)
+        return q.astype(np.int32), cs
+
+    Cgt, SCgt = colq(g_out)
+    CAt, SCAt = colq(A)
+    gw_ref = (Cgt.T @ CAt).astype(np.float64) * (
+        SCgt[:, None] * SCAt[None, :] / (127.0 * 127.0)
+    )
+    np.testing.assert_allclose(np.asarray(gw), gw_ref, rtol=1e-4, atol=1e-4)
+    # and the int8 grad_B stays within the LLM.int8() error budget of exact
+    scale = np.abs(gw_exact).max()
+    assert np.abs(np.asarray(gw) - gw_exact).max() / scale < 0.05
 
 
 def test_int8_frozen_grad_flows_to_activations_only():

@@ -1,0 +1,178 @@
+"""N-paired payload layout + fused decode kernel (ops/pallas/gemm4bit_paired).
+
+The paired layout packs weight rows (2i, 2i+1) into one byte per column and
+stores absmax transposed [K/bs, N]; the kernel decodes both nibbles into one
+int32 lane as packed bf16 patterns and sublane-bitcasts them to rows.  These
+tests pin the layout round trips, the kernel-vs-oracle numerics (both scale
+modes and both orientations), and the dispatch/serialization integration.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import bitsandbytes_tpu as bnb
+import bitsandbytes_tpu.functional as F
+from bitsandbytes_tpu.functional.codebooks import get_4bit_code
+from bitsandbytes_tpu.nn.modules import QuantizedTensor
+from bitsandbytes_tpu.ops.pallas.gemm4bit_paired import (
+    gemm_4bit_paired,
+    gemm_4bit_paired_nt,
+    pack_npaired,
+    repack_2d_to_npaired,
+    repack_npaired_to_2d,
+    unpack_npaired,
+)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 16, size=(64, 128), dtype=np.uint8)
+    P = pack_npaired(jnp.asarray(q))
+    assert P.shape == (32, 128)
+    np.testing.assert_array_equal(np.asarray(unpack_npaired(P)), q)
+    # relayout from/to the K-adjacent interop byte order
+    pairs = q.reshape(64, 64, 2)
+    p2d = jnp.asarray((pairs[..., 0] << 4) | pairs[..., 1])
+    Pp = repack_2d_to_npaired(p2d, (64, 128))
+    np.testing.assert_array_equal(np.asarray(Pp), np.asarray(P))
+    np.testing.assert_array_equal(np.asarray(repack_npaired_to_2d(Pp)), np.asarray(p2d))
+
+
+@pytest.mark.parametrize("quant_type", ["nf4", "fp4"])
+@pytest.mark.parametrize("mode", ["subdot", "element"])
+def test_paired_kernel_vs_oracle(quant_type, mode):
+    """Kernel output == bf16-rounded-units oracle: subdot mode to f32
+    accumulation-order noise, element mode to one extra bf16 rounding."""
+    N, K, bs, M = 256, 512, 64, 4
+    rng = np.random.default_rng(1)
+    code = get_4bit_code(quant_type, bs)
+    q = rng.integers(0, 16, size=(N, K), dtype=np.uint8)
+    absmax = (rng.random((N, K // bs)) * 2 + 0.1).astype(np.float32)
+    P = pack_npaired(jnp.asarray(q))
+    am_t = jnp.asarray(absmax.T.copy())
+    A = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+
+    units_bf = np.asarray(jnp.asarray(code[q], jnp.bfloat16), np.float32)
+    W = units_bf * np.repeat(absmax, bs, axis=1)
+    ref = np.asarray(A, np.float32) @ W.T
+
+    out = np.asarray(
+        gemm_4bit_paired(A, P, am_t, code, bs, (N, K), out_dtype=jnp.float32,
+                         scale_mode=mode)
+    )
+    tol = 1e-5 if mode == "subdot" else 1e-2
+    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < tol, err
+
+
+def test_paired_nt_kernel_vs_oracle():
+    N, K, bs, M = 256, 512, 64, 4
+    rng = np.random.default_rng(2)
+    code = get_4bit_code("nf4", bs)
+    q = rng.integers(0, 16, size=(N, K), dtype=np.uint8)
+    absmax = (rng.random((N, K // bs)) + 0.1).astype(np.float32)
+    P = pack_npaired(jnp.asarray(q))
+    am_t = jnp.asarray(absmax.T.copy())
+    G = jnp.asarray(rng.standard_normal((M, N)), jnp.bfloat16)
+
+    units_bf = np.asarray(jnp.asarray(code[q], jnp.bfloat16), np.float32)
+    W = units_bf * np.repeat(absmax, bs, axis=1)
+    ref = np.asarray(G, np.float32) @ W
+    out = np.asarray(
+        gemm_4bit_paired_nt(G, P, am_t, code, bs, (N, K), out_dtype=jnp.float32)
+    )
+    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 1e-2, err
+
+
+def test_quantize_4bit_paired_layout_round_trip():
+    """quantize(layout='paired') dequantizes identically to layout='2d'."""
+    rng = np.random.default_rng(3)
+    W = rng.standard_normal((128, 256)).astype(np.float32)
+    p2, s2 = F.quantize_4bit(jnp.asarray(W), blocksize=64, layout="2d")
+    pp, sp = F.quantize_4bit(jnp.asarray(W), blocksize=64, layout="paired")
+    assert sp.layout == "paired" and pp.shape == (64, 256)
+    assert sp.absmax.shape == (4, 128)  # [K/bs, N] transposed
+    d2 = np.asarray(F.dequantize_4bit(p2, quant_state=s2))
+    dp = np.asarray(F.dequantize_4bit(pp, quant_state=sp))
+    np.testing.assert_array_equal(dp, d2)
+    # canonical flat absmax identical
+    np.testing.assert_array_equal(
+        np.asarray(sp.dequant_absmax()), np.asarray(s2.dequant_absmax())
+    )
+
+
+def test_matmul_4bit_paired_matches_2d_class():
+    """Full dispatch: matmul_4bit on a paired tensor matches the 2d path to
+    quantization-rounding tolerance, and the backward (grad_A) agrees."""
+    rng = np.random.default_rng(4)
+    N, K = 128, 512
+    W = (rng.standard_normal((N, K)) / np.sqrt(K)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((4, K)), jnp.bfloat16)
+
+    qt2 = QuantizedTensor.quantize(jnp.asarray(W), blocksize=64, layout="2d")
+    qtp = QuantizedTensor.quantize(jnp.asarray(W), blocksize=64, layout="paired")
+
+    y2 = np.asarray(bnb.matmul_4bit(x, qt2.data, qt2.state), np.float32)
+    yp = np.asarray(bnb.matmul_4bit(x, qtp.data, qtp.state), np.float32)
+    np.testing.assert_allclose(yp, y2, rtol=3e-2, atol=3e-2)
+
+    def loss(fn_data, state):
+        def f(xx):
+            return bnb.matmul_4bit(xx.astype(jnp.bfloat16), fn_data, state).astype(jnp.float32).sum()
+        return jax.grad(f)(x.astype(jnp.float32))
+
+    g2 = np.asarray(loss(qt2.data, qt2.state))
+    gp = np.asarray(loss(qtp.data, qtp.state))
+    np.testing.assert_allclose(gp, g2, rtol=3e-2, atol=3e-2)
+
+
+def test_to_layout_round_trip():
+    rng = np.random.default_rng(5)
+    W = rng.standard_normal((64, 128)).astype(np.float32)
+    qt = QuantizedTensor.quantize(jnp.asarray(W), blocksize=64, layout="2d")
+    qp = qt.to_layout("paired")
+    assert qp.state.layout == "paired"
+    back = qp.to_layout("2d")
+    np.testing.assert_array_equal(np.asarray(back.data), np.asarray(qt.data))
+    np.testing.assert_array_equal(
+        np.asarray(back.state.absmax), np.asarray(qt.state.absmax)
+    )
+    # dequantization identical through every layout
+    np.testing.assert_array_equal(
+        np.asarray(qp.dequantize()), np.asarray(qt.dequantize())
+    )
+
+
+def test_paired_serialization_interop_bytes():
+    """A paired tensor serializes to the same canonical checkpoint bytes as
+    the 2d layout (interop invariance)."""
+    from bitsandbytes_tpu.utils.serialization import state_dict_from_params
+
+    rng = np.random.default_rng(6)
+    W = rng.standard_normal((64, 128)).astype(np.float32)
+    t2 = {"w": QuantizedTensor.quantize(jnp.asarray(W), blocksize=64, layout="2d")}
+    tp = {"w": QuantizedTensor.quantize(jnp.asarray(W), blocksize=64, layout="paired")}
+    sd2 = state_dict_from_params(t2)
+    sdp = state_dict_from_params(tp)
+    assert set(sd2) == set(sdp)
+    for k in sd2:
+        np.testing.assert_array_equal(sd2[k], sdp[k])
+
+
+def test_paired_double_quant_dispatch():
+    """compress_statistics + paired: nested absmax stays flat, forward runs."""
+    rng = np.random.default_rng(7)
+    N, K = 128, 512
+    W = (rng.standard_normal((N, K)) / np.sqrt(K)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((2, K)), jnp.bfloat16)
+    qt = QuantizedTensor.quantize(
+        jnp.asarray(W), blocksize=64, layout="paired", compress_statistics=True
+    )
+    assert qt.state.nested and qt.state.layout == "paired"
+    y = np.asarray(bnb.matmul_4bit(x, qt.data, qt.state), np.float32)
+    ref = np.asarray(x, np.float32) @ W.T
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 0.2  # 4-bit quant noise

@@ -47,8 +47,13 @@ def test_packed_payload_is_sharded(mesh, setup):
     qt = sparams["layers"][0]["wq"]
     spec = qt.data.sharding.spec
     assert spec[0] == "model", spec
-    # absmax sharded congruently
-    assert qt.state.absmax.sharding.spec[0] == "model"
+    # absmax sharded congruently: the 'paired' layout stores it transposed
+    # [K/bs, N], so the N axis is dim 1 there
+    am_spec = qt.state.absmax.sharding.spec
+    if qt.state.layout == "paired":
+        assert am_spec[1] == "model", am_spec
+    else:
+        assert am_spec[0] == "model", am_spec
 
 
 def test_nested_absmax_replicates(mesh, setup):
@@ -220,3 +225,53 @@ def test_ring_attention_matches_full(mesh, causal):
     p = jax.nn.softmax(s, axis=-1)
     ref = jnp.einsum("bhqk,bkhd->bqhd", p, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_tp_gemm_4bit_ring_exact(mesh, setup):
+    """The ppermute gather/compute-overlap ring (paired layout) must equal
+    the unsharded fused matmul bit-for-bit."""
+    cfg, qparams, _ = setup
+    qt = qparams["layers"][0]["wq"]
+    if qt.state.layout != "paired":
+        qt = qt.to_layout("paired")
+    A = jax.random.normal(jax.random.PRNGKey(2), (4, cfg.hidden_size)).astype(
+        jnp.bfloat16
+    )
+    ref = bnb.matmul_4bit(A, qt.data, qt.state)
+    out = par.tp_gemm_4bit_ring(A, qt.data, qt.state, mesh, "model")
+    np.testing.assert_array_equal(
+        np.asarray(out.astype(jnp.float32)), np.asarray(ref.astype(jnp.float32))
+    )
+
+
+def test_kshard_spec_accepted(mesh):
+    """K-dim sharding of packed 4-bit weights: the 'paired' layout accepts a
+    P(None, 'model') weight spec and shards payload dim 1 / absmax dim 0 in
+    whole quant-block multiples (VERDICT r1 item 3; reference FSDP flat-shard
+    analog nn/modules.py:545)."""
+    W = jax.random.normal(jax.random.PRNGKey(0), (64, 512), jnp.float32)
+    qt = QuantizedTensor.quantize(W, blocksize=64, layout="paired")
+    specs = par.leaf_sharding(qt, P(None, "model"), mesh)
+    assert specs.data == P(None, "model")
+    assert specs.state.absmax == P("model", None)  # [K/bs, N]: K is dim 0
+
+    # sharded forward equals unsharded (GSPMD resolves the layout)
+    sharded = par.shard_quantized_tree({"w": qt}, mesh, lambda p, l: P(None, "model"))
+    A = jax.random.normal(jax.random.PRNGKey(1), (4, 512)).astype(jnp.bfloat16)
+    ref = bnb.matmul_4bit(A, qt.data, qt.state)
+    out = jax.jit(lambda q, a: bnb.matmul_4bit(a, q["w"].data, q["w"].state))(
+        sharded, A
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_kshard_blocks_must_divide(mesh):
+    """K-shards that would split a quantization block fall back to
+    replication on that axis."""
+    W = jax.random.normal(jax.random.PRNGKey(0), (64, 256), jnp.float32)
+    qt = QuantizedTensor.quantize(W, blocksize=128, layout="paired")
+    # 256 / 4 shards = 64 < blocksize 128 -> K axis must drop to None
+    specs = par.leaf_sharding(qt, P(None, "model"), mesh)
+    assert specs.data == P(None, None)

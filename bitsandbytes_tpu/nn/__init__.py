@@ -1,6 +1,7 @@
 """Flax linen modules over quantized weights (the L5 layer of SURVEY.md §1)."""
 
 from .modules import (
+    Embedding,
     Embedding4bit,
     Embedding8bit,
     EmbeddingFP4,
@@ -29,6 +30,7 @@ __all__ = [
     "EmbeddingFP4",
     "EmbeddingNF4",
     "Embedding8bit",
+    "Embedding",
     "StableEmbedding",
     "OutlierAwareLinear",
     "QuantizedTensor",

@@ -44,6 +44,7 @@ __all__ = [
     "EmbeddingFP4",
     "EmbeddingNF4",
     "Embedding8bit",
+    "Embedding",
     "StableEmbedding",
     "OutlierAwareLinear",
 ]
@@ -376,6 +377,36 @@ class Embedding8bit(nn.Module):
         rows = jnp.take(qtable.CB, ids.reshape(-1), axis=0).astype(jnp.float32)
         stats = jnp.take(qtable.SCB, ids.reshape(-1), axis=0)
         out = rows * (stats[:, None] / 127.0)
+        return out.reshape(*ids.shape, self.features).astype(self.dtype)
+
+
+class Embedding(nn.Module):
+    """Plain embedding whose optimizer state stays 32-bit — the reference's
+    `bnb.nn.Embedding` (nn/modules.py:134-197): a standard xavier-uniform
+    embedding (no LayerNorm, unlike StableEmbedding) that registers a
+    32-bit-optimizer override for its weight.  Here the parameter name
+    `embedding` matches :data:`bitsandbytes_tpu.optim.STABLE_EMBEDDING_RULE`
+    so the same per-path override pins it to 32-bit state under the 8-bit
+    optimizers.  ``padding_idx`` zeroes that row's output (the lookup-side
+    equivalent of the reference zeroing the row at init)."""
+
+    num_embeddings: int
+    features: int
+    padding_idx: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids):
+        table = self.param(
+            "embedding",
+            nn.initializers.xavier_uniform(),
+            (self.num_embeddings, self.features),
+            jnp.float32,
+        )
+        out = jnp.take(table, ids.reshape(-1), axis=0)
+        if self.padding_idx is not None:
+            pad = (ids.reshape(-1) == self.padding_idx)[:, None]
+            out = jnp.where(pad, 0.0, out)
         return out.reshape(*ids.shape, self.features).astype(self.dtype)
 
 

@@ -91,8 +91,8 @@ def _broadcast_scale(scale_t, TKh: int, sb: int):
     dims = (((0,), (0,)), ((), ()))
     hi = scale_t.astype(jnp.bfloat16)
     lo = (scale_t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    out = jax.lax.dot_general(hi, E, dims, preferred_element_type=jnp.float32)
-    out += jax.lax.dot_general(lo, E, dims, preferred_element_type=jnp.float32)
+    out = jax.lax.dot_general(hi, E, dims, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+    out += jax.lax.dot_general(lo, E, dims, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     return out
 
 
@@ -106,11 +106,11 @@ def _dot_acc(a, b, dims):
         a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         b_hi = b.astype(jnp.bfloat16)
         b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = jax.lax.dot_general(a_hi, b_hi, dims, preferred_element_type=jnp.float32)
-        out += jax.lax.dot_general(a_hi, b_lo, dims, preferred_element_type=jnp.float32)
-        out += jax.lax.dot_general(a_lo, b_hi, dims, preferred_element_type=jnp.float32)
+        out = jax.lax.dot_general(a_hi, b_hi, dims, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        out += jax.lax.dot_general(a_hi, b_lo, dims, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        out += jax.lax.dot_general(a_lo, b_hi, dims, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         return out
-    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
 
 
 def _gemm4bit_kernel(a_even_ref, a_odd_ref, bp_ref, scale_ref, out_ref, *, code, blocksize, n_k):

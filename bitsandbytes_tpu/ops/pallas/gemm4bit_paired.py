@@ -178,10 +178,10 @@ def _dot_f32acc(a, b, dims):
     if a.dtype == jnp.float32:
         a_hi = a.astype(jnp.bfloat16)
         a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = jax.lax.dot_general(a_hi, b, dims, preferred_element_type=jnp.float32)
-        out += jax.lax.dot_general(a_lo, b, dims, preferred_element_type=jnp.float32)
+        out = jax.lax.dot_general(a_hi, b, dims, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        out += jax.lax.dot_general(a_lo, b, dims, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         return out
-    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
 
 
 def _paired_kernel(a_ref, bp_ref, scale_ref, out_ref, *, code_t, blocksize, scale_mode):
@@ -205,10 +205,14 @@ def _paired_kernel(a_ref, bp_ref, scale_ref, out_ref, *, code_t, blocksize, scal
     else:  # per-element scale on the decoded units (fallback mode)
         rows = jax.lax.broadcasted_iota(jnp.int32, (nb, TK), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (nb, TK), 1) // blocksize
-        E = (rows == cols).astype(jnp.bfloat16)
+        # one-hot expander: f32 x f32 at DEFAULT precision (bf16-mantissa
+        # scale broadcast — element mode's accuracy class is bf16 anyway;
+        # mixed f32 x bf16 operand dtypes are rejected by Mosaic)
+        E = (rows == cols).astype(jnp.float32)
         sc = jax.lax.dot_general(
             scale_ref[:], E, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )  # [TN, TK]
         w = (units.astype(jnp.float32) * sc).astype(jnp.bfloat16)
         acc = _dot_f32acc(a_ref[:], w, dims)

@@ -44,7 +44,32 @@ class _Slot:
     request_id: int
     prompt: List[int]
     max_new_tokens: int
+    temperature: float = 0.0
+    top_p: float = 1.0
     tokens: List[int] = dataclasses.field(default_factory=list)
+
+
+_TOPK = 64  # sampling candidate pool (static shape for top-p filtering)
+
+
+def _sample_tokens(logits, temps, top_ps, key):
+    """Per-slot temperature + nucleus (top-p) sampling; slots with
+    temperature <= 0 take the argmax (greedy).
+
+    ``logits`` [B, V]; ``temps``/``top_ps`` [B].  top-p runs inside a
+    static top-64 candidate pool: softmax, exclusive-cumsum nucleus mask,
+    renormalize, categorical draw — all jit-static shapes."""
+    greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+    vals, idxs = jax.lax.top_k(logits.astype(jnp.float32), _TOPK)
+    scaled = vals / jnp.maximum(temps, 1e-6)[:, None]
+    probs = jax.nn.softmax(scaled, axis=-1)
+    csum = jnp.cumsum(probs, axis=-1)
+    keep = (csum - probs) < top_ps[:, None]  # always keeps the top token
+    probs = jnp.where(keep, probs, 0.0)
+    logp = jnp.log(jnp.maximum(probs, 1e-30))
+    choice = jax.random.categorical(key, logp, axis=-1)
+    sampled = jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy)
 
 
 def _bucket(n: int, lo: int = 16) -> int:
@@ -78,17 +103,37 @@ class ContinuousBatchingEngine:
         kv_dtype: str = "bf16",
         eos_id: Optional[int] = None,
         steps_per_sync: int = 8,
+        mesh=None,
+        seed: int = 0,
     ):
-        self.params = params
+        """``mesh``: a `jax.sharding.Mesh` with a ``model`` axis (and
+        optionally ``data``) turns the engine multi-device: the quantized
+        params are TP-sharded (packed payload + congruent absmax,
+        parallel/sharding.py rules), the KV cache shards its heads over
+        ``model``, and the SAME jitted prefill/decode programs run under
+        GSPMD with XLA inserting the ICI collectives — BASELINE configs
+        #3/#5's serving layout."""
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_len = max_len
         self.eos_id = eos_id
-        self.cache = L.init_kv_cache(cfg, max_batch, max_len, kv_dtype=kv_dtype)
+        self.mesh = mesh
+        cache = L.init_kv_cache(cfg, max_batch, max_len, kv_dtype=kv_dtype)
+        if mesh is not None:
+            from .. import parallel as par
+
+            params = par.llama_param_specs(mesh, params)
+            cache = par.shard_kv_cache(cache, mesh)
+        self.params = params
+        self.cache = cache
         self.kv_dtype = kv_dtype
         self.lengths = np.zeros(max_batch, np.int32)  # tokens already in cache
         self.slots: Dict[int, _Slot] = {}
         self.cur_token = np.zeros(max_batch, np.int32)
+        self.temps = np.zeros(max_batch, np.float32)
+        self.top_ps = np.ones(max_batch, np.float32)
+        self._step_count = 0
+        self._base_key = jax.random.PRNGKey(seed)
         self._next_id = 0
         self._pending: List[_Slot] = []
 
@@ -97,19 +142,22 @@ class ContinuousBatchingEngine:
         S = self.steps_per_sync
 
         @jax.jit
-        def decode(params, cache, tokens, positions):
-            """S greedy decode steps per host round trip: the host<->device
-            sync per step dominates wall clock on remote runtimes (measured
+        def decode(params, cache, tokens, positions, temps, top_ps, key):
+            """S decode steps per host round trip: the host<->device sync
+            per step dominates wall clock on remote runtimes (measured
             35 tok/s at 1 step/sync vs ~2.2k tok/s kernel-level), so the
             inner loop runs on-device and tokens sync in chunks.  Slots that
-            finish mid-chunk produce extra tokens that the host discards."""
+            finish mid-chunk produce extra tokens that the host discards.
+            Per-slot temperature/top-p sampling; temperature 0 = greedy."""
 
             def step(i, carry):
                 toks, cache, pos, out = carry
                 logits, cache = L.forward(
                     params, toks[:, None], cfg_, cache=cache, start_pos=pos
                 )
-                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                nxt = _sample_tokens(
+                    logits[:, 0], temps, top_ps, jax.random.fold_in(key, i)
+                )
                 out = jax.lax.dynamic_update_index_in_dim(out, nxt, i, axis=0)
                 return nxt, cache, pos + 1, out
 
@@ -122,7 +170,7 @@ class ContinuousBatchingEngine:
         self._decode = decode
 
         @partial(jax.jit, static_argnames=("pad_len",))
-        def prefill_one(params, cache1, ids_padded, true_len, pad_len):
+        def prefill_one(params, cache1, ids_padded, true_len, pad_len, temp, top_p, key):
             # run the padded prompt through a single-slot cache; positions
             # beyond true_len hold garbage K/V but are masked by the valid
             # length at decode time
@@ -130,18 +178,32 @@ class ContinuousBatchingEngine:
                 params, ids_padded, cfg_, cache=cache1, start_pos=0
             )
             last = logits[0, true_len - 1]
-            return jnp.argmax(last, -1).astype(jnp.int32), cache1
+            nxt = _sample_tokens(
+                last[None, :],
+                jnp.asarray([temp], jnp.float32),
+                jnp.asarray([top_p], jnp.float32),
+                key,
+            )[0]
+            return nxt, cache1
 
         self._prefill_one = prefill_one
 
     # -- request management -------------------------------------------------
 
-    def add_request(self, prompt_ids: List[int], max_new_tokens: int = 64) -> int:
+    def add_request(
+        self,
+        prompt_ids: List[int],
+        max_new_tokens: int = 64,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+    ) -> int:
         rid = self._next_id
         self._next_id += 1
         if len(prompt_ids) >= self.max_len:
             raise ValueError("prompt longer than max_len")
-        self._pending.append(_Slot(rid, list(prompt_ids), max_new_tokens))
+        self._pending.append(
+            _Slot(rid, list(prompt_ids), max_new_tokens, temperature, top_p)
+        )
         self._admit()
         return rid
 
@@ -173,8 +235,12 @@ class ContinuousBatchingEngine:
         ids_p = np.zeros((1, pad_len), np.int32)
         ids_p[0, : len(ids)] = ids
         cache1 = jax.tree_util.tree_map(lambda x: x[:, b : b + 1], self.cache)
+        key = jax.random.fold_in(self._base_key, (req.request_id << 20) + 1)
+        self.temps[b] = req.temperature
+        self.top_ps[b] = req.top_p
         nxt, cache1 = self._prefill_one(
-            self.params, cache1, jnp.asarray(ids_p), len(ids), pad_len
+            self.params, cache1, jnp.asarray(ids_p), len(ids), pad_len,
+            req.temperature, req.top_p, key,
         )
         # write the slot back into the big cache (async dispatch)
         self.cache = jax.tree_util.tree_map(
@@ -201,7 +267,12 @@ class ContinuousBatchingEngine:
             active[b] = True
         positions = jnp.asarray(np.where(active, self.lengths, 0), jnp.int32)
         tokens = jnp.asarray(self.cur_token, jnp.int32)
-        chunk, self.cache = self._decode(self.params, self.cache, tokens, positions)
+        key = jax.random.fold_in(self._base_key, self._step_count)
+        self._step_count += 1
+        chunk, self.cache = self._decode(
+            self.params, self.cache, tokens, positions,
+            jnp.asarray(self.temps), jnp.asarray(self.top_ps), key,
+        )
         chunk = np.asarray(chunk)  # [S, B]
         S = chunk.shape[0]
 
@@ -232,13 +303,21 @@ class ContinuousBatchingEngine:
                 )
                 del self.slots[b]
                 self.lengths[b] = 0
+                self.temps[b] = 0.0
+                self.top_ps[b] = 1.0
         self._admit()
         return finished
 
-    def generate(self, prompts: List[List[int]], max_new_tokens: int = 64) -> List[GenerationResult]:
+    def generate(
+        self,
+        prompts: List[List[int]],
+        max_new_tokens: int = 64,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+    ) -> List[GenerationResult]:
         """Convenience batch API: submit all prompts, run to completion."""
         for p in prompts:
-            self.add_request(p, max_new_tokens)
+            self.add_request(p, max_new_tokens, temperature=temperature, top_p=top_p)
         out: List[GenerationResult] = []
         while self.has_work():
             out.extend(self.step())

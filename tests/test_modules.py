@@ -215,3 +215,23 @@ def test_embedding_scales_get_no_gradient():
             arr = np.asarray(leaf)
             if np.issubdtype(arr.dtype, np.floating):
                 assert np.all(arr == 0.0)
+
+
+def test_plain_embedding():
+    """bnb.nn.Embedding (reference nn/modules.py:134-197): plain embedding,
+    no LayerNorm, whose weight path matches the 32-bit optimizer override
+    rule; padding_idx rows emit zeros."""
+    from bitsandbytes_tpu.nn import Embedding
+    from bitsandbytes_tpu.optim.overrides import STABLE_EMBEDDING_RULE
+    import re
+
+    m = Embedding(num_embeddings=50, features=32, padding_idx=0)
+    ids = jnp.asarray([[0, 3], [7, 49]])
+    params = m.init(jax.random.PRNGKey(0), ids)
+    out = m.apply(params, ids)
+    assert out.shape == (2, 2, 32)
+    assert np.allclose(np.asarray(out[0, 0]), 0.0)  # padding row
+    table = np.asarray(params["params"]["embedding"])
+    np.testing.assert_allclose(np.asarray(out[1, 0]), table[7], rtol=1e-6)
+    # the param path matches the 32-bit override rule
+    assert re.match(STABLE_EMBEDDING_RULE[0], "params/embedding".replace("/", "."))

@@ -270,3 +270,82 @@ def test_linear8bitlt_module_matches_reference():
     err = np.abs(out - out_ref)
     bad = (err > 0.02 + 0.02 * np.abs(out_ref)).mean()
     assert bad < 0.02, (bad, err.max())
+
+
+def test_checkpoint_interop_reference_to_ours():
+    """Serialize from the ACTUAL reference (Linear4bit.state_dict, CPU) and
+    load the bytes here: the rebuilt QuantizedTensor must produce the same
+    forward as the reference module (reference nn/modules.py:593-607
+    _save_to_state_dict; our utils/serialization.py fold)."""
+    from bitsandbytes_tpu.utils.serialization import params_from_state_dict
+    import bitsandbytes_tpu as bnb_tpu
+
+    K, N, B = 256, 128, 4
+    rng = np.random.default_rng(11)
+    W = (rng.normal(size=(N, K)) / np.sqrt(K)).astype(np.float32)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+
+    layer = bnb_ref.nn.Linear4bit(
+        K, N, bias=False, quant_type="nf4", compute_dtype=torch.float32
+    )
+    layer.weight = bnb_ref.nn.Params4bit(
+        data=torch.from_numpy(W.copy()),
+        quant_type="nf4",
+        blocksize=64,
+        compress_statistics=True,
+    )
+    layer = layer.cpu()  # quantize-on-device-move
+    with torch.no_grad():
+        out_ref = layer(torch.from_numpy(x.copy())).numpy()
+
+    sd = {
+        ("w" + k[len("weight"):]): np.asarray(v.detach())
+        for k, v in layer.state_dict().items()
+    }
+    folded = params_from_state_dict(sd)
+    qt = folded["w"]
+    assert tuple(qt.state.shape) == (N, K) and qt.state.nested
+    out = np.asarray(bnb_tpu.matmul_4bit(jnp.asarray(x), qt.data, qt.state))
+    np.testing.assert_allclose(out, out_ref, rtol=2e-2, atol=2e-3)
+
+    # byte-level: the payload we loaded is exactly the reference's packed
+    # weight, and dequantization recovers the same weight matrix
+    W_ref_dq = bnb_ref.functional.dequantize_4bit(
+        layer.weight.data, layer.weight.quant_state
+    ).float().numpy()
+    W_ours_dq = np.asarray(qt.dequantize(), np.float32)
+    np.testing.assert_allclose(W_ours_dq, W_ref_dq, rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_interop_ours_to_reference():
+    """Save here, load with the ACTUAL reference
+    (Params4bit.from_prequantized, reference nn/modules.py:355-379): the
+    reference forward on our bytes must match our forward."""
+    import bitsandbytes_tpu as bnb_tpu
+
+    K, N, B = 256, 128, 4
+    rng = np.random.default_rng(12)
+    W = (rng.normal(size=(N, K)) / np.sqrt(K)).astype(np.float32)
+    x = rng.normal(size=(B, K)).astype(np.float32)
+
+    packed, qs = F.quantize_4bit(
+        jnp.asarray(W), blocksize=64, quant_type="nf4", compress_statistics=True
+    )
+    out_ours = np.asarray(bnb_tpu.matmul_4bit(jnp.asarray(x), packed, qs))
+
+    quantized_stats = {
+        k: torch.from_numpy(np.asarray(v).copy())
+        for k, v in qs.as_dict(packed=True).items()
+    }
+    p4 = bnb_ref.nn.Params4bit.from_prequantized(
+        data=torch.from_numpy(np.asarray(packed).reshape(-1, 1).copy()),
+        quantized_stats=quantized_stats,
+        device="cpu",
+    )
+    layer = bnb_ref.nn.Linear4bit(
+        K, N, bias=False, quant_type="nf4", compute_dtype=torch.float32
+    )
+    layer.weight = p4
+    with torch.no_grad():
+        out_ref = layer(torch.from_numpy(x.copy())).numpy()
+    np.testing.assert_allclose(out_ours, out_ref, rtol=2e-2, atol=2e-3)

@@ -67,3 +67,60 @@ def test_eos_stops(setup):
     [r] = eng.generate([[5, 6]], max_new_tokens=10)
     assert r.finished_reason == "eos"
     assert r.tokens == r0.tokens[:2]
+
+
+def test_sampling_modes(setup):
+    """Temperature/top-p sampling: temp=0 equals greedy; fixed seed is
+    reproducible; temp>0 with top_p<1 produces valid tokens and (over many
+    draws) more than one distinct continuation."""
+    cfg, qparams = setup
+    prompt = [1, 2, 3]
+
+    def run(seed, temperature, top_p):
+        eng = ContinuousBatchingEngine(
+            qparams, cfg, max_batch=2, max_len=64, steps_per_sync=2, seed=seed
+        )
+        (r,) = eng.generate([prompt], max_new_tokens=8, temperature=temperature, top_p=top_p)
+        return r.tokens
+
+    greedy = run(0, 0.0, 1.0)
+    assert run(7, 0.0, 1.0) == greedy  # temp=0 ignores the seed
+
+    s1 = run(0, 1.5, 0.9)
+    s2 = run(0, 1.5, 0.9)
+    assert s1 == s2  # reproducible under a fixed seed
+    assert all(0 <= t < cfg.vocab_size for t in s1)
+    draws = {tuple(run(seed, 1.5, 0.9)) for seed in range(5)}
+    assert len(draws) > 1  # the distribution is actually sampled
+
+    # tiny nucleus: only the top token survives -> equals greedy
+    assert run(3, 0.7, 1e-6) == greedy
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_engine_tp_sharded_matches_single_device(setup):
+    """The engine on an 8-device mesh with TP=4 (params + KV sharded, GSPMD
+    collectives) produces the same greedy tokens as the single-device engine
+    (VERDICT r1 item 6; BASELINE configs #3/#5)."""
+    from bitsandbytes_tpu import parallel as par
+
+    cfg, qparams = setup
+    prompts = [[1, 2, 3, 4], [5, 6]]
+
+    eng1 = ContinuousBatchingEngine(qparams, cfg, max_batch=2, max_len=64, steps_per_sync=2)
+    ref = eng1.generate(prompts, max_new_tokens=6)
+
+    mesh = par.make_mesh({"data": 2, "model": 4})
+    eng2 = ContinuousBatchingEngine(
+        qparams, cfg, max_batch=2, max_len=64, steps_per_sync=2, mesh=mesh
+    )
+    out = eng2.generate(prompts, max_new_tokens=6)
+    for r1, r2 in zip(ref, out):
+        assert r1.tokens == r2.tokens, (r1.tokens, r2.tokens)
+    # params and cache really are sharded over the mesh (after .at[].set
+    # updates the cache sharding objects become GSPMDSharding — check
+    # distribution, not the spec type)
+    qt = eng2.params["layers"][0]["wq"]
+    assert "model" in tuple(qt.data.sharding.spec)
+    assert not eng2.cache.k.sharding.is_fully_replicated
+    assert len(eng2.cache.k.sharding.device_set) == 8

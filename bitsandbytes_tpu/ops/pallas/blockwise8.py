@@ -51,13 +51,18 @@ def _dq_kernel(q_ref, am_ref, out_ref, *, code):
     out_ref[:] = (_decode_tree256(q, code) * am_ref[:]).astype(out_ref.dtype)
 
 
-def _q_kernel(x_ref, am_ref, q_ref, *, midpoints):
-    # absmax computed by XLA outside (multi-output pallas_calls with a
-    # [TB, 1] output were observed to fault the TPU worker inside while
-    # loops); the kernel only does the compare-rank quantize.
+def _q_kernel(x_ref, q_ref, am_ref, *, midpoints):
+    # absmax + quantize in ONE VMEM pass (reference kQuantizeBlockwise,
+    # kernels.cu:269-375).  Round 1 worked around a TPU-worker fault with
+    # multi-output pallas_calls carrying a [TB, 1] output inside fori_loops
+    # by hoisting absmax to XLA (a second HBM pass over x); the fault no
+    # longer reproduces on the current stack (regression test
+    # tests/test_functional.py::test_blockwise8_quantize_kernel_in_loop).
     x = x_ref[:].astype(jnp.float32)
-    am = am_ref[:]
-    scaled = jnp.clip(x / jnp.maximum(am, 1e-38), -1.0, 1.0)
+    am = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    am_ref[:] = am
+    # reciprocal-multiply, exactly as the oracle (blockwise.py:65-66)
+    scaled = jnp.clip(x * (1.0 / jnp.clip(am, 1e-38, None)), -1.0, 1.0)
     q_ref[:] = _rank256(scaled, midpoints).astype(jnp.uint8)
 
 
@@ -103,16 +108,20 @@ def quantize_blockwise_pallas(x, *, code_t, blocksize) -> Tuple[jax.Array, jax.A
     while nb % TB and TB > 8:
         TB //= 2
     x2 = x.reshape(nb, blocksize).astype(jnp.float32)
-    am = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
-    q = pl.pallas_call(
+    q, am = pl.pallas_call(
         functools.partial(_q_kernel, midpoints=midpoints),
         grid=(nb // TB,),
         in_specs=[
             pl.BlockSpec((TB, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, blocksize), jnp.uint8),
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, blocksize), jnp.uint8),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ],
         interpret=_interpret(),
-    )(x2, am)
+    )(x2)
     return q.reshape(x.shape), am.reshape(-1)

@@ -280,3 +280,76 @@ def test_quant_storage_dtypes(storage):
     out = dequantize_4bit(packed, quant_state=qs)
     ref = dequantize_4bit(p8, quant_state=qs8)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_quant4bit_kernel_matches_oracle():
+    """The Pallas 4-bit quantize kernel (absmax + compare-rank in one VMEM
+    pass) must be bit-identical to the jnp oracle for every supported
+    codebook (reference kQuantizeBlockwise, kernels.cu:269-463)."""
+    from bitsandbytes_tpu.functional.fourbit import _quantize_4bit_impl, _quantize_tables
+    from bitsandbytes_tpu.functional.codebooks import get_4bit_code
+    from bitsandbytes_tpu.ops.pallas.quant4bit import (
+        pallas_quant4bit_supported,
+        quantize_4bit_codes_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    for quant_type in ("nf4", "fp4", "int4"):
+        for (N, K, bs) in ((64, 512, 64), (32, 1024, 128)):
+            assert pallas_quant4bit_supported(N, K, bs)
+            W = jnp.asarray(rng.standard_normal((N, K)).astype(np.float32))
+            code_t = tuple(float(x) for x in get_4bit_code(quant_type, bs))
+            codes, am = quantize_4bit_codes_pallas(W, code_t=code_t, blocksize=bs)
+            mid, order = _quantize_tables(quant_type, bs)
+            packed_ref, am_ref = _quantize_4bit_impl(W, mid, order, bs, quant_type, "flat")
+            # oracle packs adjacent pairs; unpack for code-level comparison
+            pr = np.asarray(packed_ref).reshape(-1)
+            ref_codes = np.stack([pr >> 4, pr & 0xF], -1).reshape(N, K)
+            np.testing.assert_array_equal(np.asarray(codes), ref_codes)
+            np.testing.assert_array_equal(
+                np.asarray(am).reshape(-1), np.asarray(am_ref)
+            )
+
+
+def test_quantize_4bit_kernel_dispatch_identical():
+    """quantize_4bit through the kernel dispatch == forced jnp tier."""
+    import bitsandbytes_tpu.ops.dispatch as dispatch
+    from bitsandbytes_tpu.functional.fourbit import quantize_4bit
+
+    rng = np.random.default_rng(1)
+    W = jnp.asarray(rng.standard_normal((64, 512)).astype(np.float32))
+    for layout in ("2d", "paired", "flat"):
+        p1, s1 = quantize_4bit(W, blocksize=64, layout=layout)
+        old = dispatch._backend
+        dispatch.set_backend("reference")
+        try:
+            p2, s2 = quantize_4bit(W, blocksize=64, layout=layout)
+        finally:
+            dispatch._backend = old
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_array_equal(
+            np.asarray(s1.dequant_absmax()), np.asarray(s2.dequant_absmax())
+        )
+
+
+def test_blockwise8_quantize_kernel_in_loop():
+    """Regression for the round-1 TPU-worker fault: the single-pass
+    blockwise-8bit quantize kernel (multi-output, [TB, 1] absmax) must
+    survive being called inside a fori_loop (PARITY r1 known-gap #3)."""
+    from bitsandbytes_tpu.functional.codebooks import create_dynamic_map
+    from bitsandbytes_tpu.ops.pallas.blockwise8 import quantize_blockwise_pallas
+
+    code_t = tuple(float(x) for x in np.asarray(create_dynamic_map(True)))
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal(8 * 256).astype(np.float32)
+    )
+
+    @jax.jit
+    def loop(x):
+        def body(i, c):
+            q, am = quantize_blockwise_pallas(c, code_t=code_t, blocksize=256)
+            return c + 0.0 * (q.astype(jnp.float32).mean() + am.mean())
+        return jax.lax.fori_loop(0, 4, body, x)[0]
+
+    v = float(loop(x))
+    assert np.isfinite(v)

@@ -39,5 +39,53 @@ def main():
         print(f"{name:8s}: {s*1e3:7.3f} ms/step  {bs/s:9.1f} tok/s (bs={bs})")
 
 
+def main_full_model():
+    """FULL 32-layer Llama-3-8B NF4 decode (absolute tok/s; the 4-bit model
+    fits a single v5e chip — a bf16 copy would not, which is why the
+    headline ratio bench uses layer-scaled geometry).  Reference absolute
+    comparison points (benchmarking/README.md:91-101, H100 80GB): NF4 bs=1
+    30.14 tok/s, bs=8 168.05, bs=32 658.65."""
+    if jax.default_backend() in ("cpu", "gpu"):
+        print("full-model bench requires the TPU chip")
+        return
+    cfg = L.LlamaConfig.llama3_8b(num_layers=32)
+    cache_len = 256
+    # init + quantize ONE layer at a time: the full bf16 model (16 GB) does
+    # not fit the chip; the NF4 model (~4.7 GB) does
+    cfg1 = L.LlamaConfig.llama3_8b(num_layers=1)
+    qlayers = []
+    for i in range(cfg.num_layers):
+        p1 = L.init_params(jax.random.PRNGKey(i), cfg1)
+        ql = L.quantize_params_4bit(
+            {"layers": p1["layers"], "embed": None, "final_norm": None, "lm_head": None},
+            quant_type="nf4", blocksize=64, fuse=True,
+        )["layers"][0]
+        jax.block_until_ready(jax.tree_util.tree_leaves(ql))
+        if i == 0:
+            head = {k: p1[k] for k in ("embed", "final_norm", "lm_head")}
+            jax.block_until_ready(list(head.values()))
+        del p1
+        qlayers.append(ql)
+    qparams = {**head, "layers": qlayers}
+    del qlayers
+
+    for bs in (1, 8, 32):
+        cache = L.init_kv_cache(cfg, bs, cache_len)
+        tok = jnp.zeros((bs,), jnp.int32)
+
+        def step(p, tok, k, v):
+            logits, c = L.decode_step(p, tok, cfg, L.KVCache(k, v), cache_len // 2)
+            return jnp.argmax(logits, -1).astype(jnp.int32), c.k, c.v
+
+        s = device_loop_time(
+            step, (tok, cache.k, cache.v), iters=10, const_args=(qparams,)
+        )
+        del cache
+        print(f"nf4 32-layer bs={bs:2d}: {s*1e3:7.3f} ms/step  {bs/s:9.1f} tok/s")
+
+
 if __name__ == "__main__":
-    main()
+    if "--full" in sys.argv:
+        main_full_model()
+    else:
+        main()

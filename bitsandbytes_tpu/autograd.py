@@ -169,7 +169,7 @@ def _mm_8bit_train_fwd(A, B_fp, threshold):
         CAt, SCAt = _colwise_quant(A2)
         subA = None
     # zero-size token carries B's dtype so the cotangent matches the primal
-    return out, (CAt, SCAt, subA, A.shape, CB, SCB, jnp.zeros((0,), B_fp.dtype))
+    return out, (CAt, SCAt, subA, CB, SCB, jnp.zeros((0,), B_fp.dtype))
 
 
 def _mm_8bit_train_bwd(threshold, res, g):
@@ -177,7 +177,7 @@ def _mm_8bit_train_bwd(threshold, res, g):
     an int8 matmul of the column-quantized grad with the column-quantized
     activations (+ fp outlier-column correction); ``grad_A`` contracts with
     the dequantized int8 weight."""
-    CAt, SCAt, subA, A_shape, CB, SCB, b_token = res
+    CAt, SCAt, subA, CB, SCB, b_token = res
     W_dq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
     grad_A = jnp.matmul(
         g.astype(jnp.float32), W_dq, preferred_element_type=jnp.float32

@@ -49,7 +49,17 @@ __all__ = [
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
-    """Architecture hyperparameters (Llama-2/3 family)."""
+    """Architecture hyperparameters for the Llama-family decoder stack.
+
+    The config also expresses the Llama-adjacent families the quantized
+    stack serves (the reference serves them all through HF Transformers;
+    here they are first-class):
+
+    * Mistral: ``sliding_window`` (local attention span)
+    * Qwen2: ``attn_bias`` (biases on the q/k/v projections)
+    * Gemma: ``act="gelu"``, ``norm_plus_one`` ((1 + w) RMSNorm weights),
+      ``scale_embed`` (sqrt(hidden) embedding multiplier)
+    """
 
     vocab_size: int = 32000
     hidden_size: int = 4096
@@ -61,6 +71,11 @@ class LlamaConfig:
     rope_theta: float = 500000.0
     rms_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
+    sliding_window: Optional[int] = None
+    attn_bias: bool = False
+    act: str = "silu"
+    norm_plus_one: bool = False
+    scale_embed: bool = False
 
     @classmethod
     def llama3_8b(cls, num_layers: int = 32) -> "LlamaConfig":
@@ -73,6 +88,45 @@ class LlamaConfig:
             num_kv_heads=32,
             rope_theta=10000.0,
             num_layers=num_layers,
+        )
+
+    @classmethod
+    def mistral_7b(cls, num_layers: int = 32) -> "LlamaConfig":
+        return cls(
+            intermediate_size=14336,
+            num_kv_heads=8,
+            rope_theta=10000.0,
+            num_layers=num_layers,
+            sliding_window=4096,
+        )
+
+    @classmethod
+    def qwen2_7b(cls, num_layers: int = 28) -> "LlamaConfig":
+        return cls(
+            vocab_size=152064,
+            hidden_size=3584,
+            intermediate_size=18944,
+            num_heads=28,
+            num_kv_heads=4,
+            rope_theta=1000000.0,
+            num_layers=num_layers,
+            attn_bias=True,
+        )
+
+    @classmethod
+    def gemma_7b(cls, num_layers: int = 28) -> "LlamaConfig":
+        return cls(
+            vocab_size=256000,
+            hidden_size=3072,
+            intermediate_size=24576,
+            num_heads=16,
+            num_kv_heads=16,
+            head_dim=256,
+            rope_theta=10000.0,
+            num_layers=num_layers,
+            act="gelu",
+            norm_plus_one=True,
+            scale_embed=True,
         )
 
     @classmethod
@@ -146,22 +200,29 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> dict:
 
     def layer(k):
         ks = jax.random.split(k, 7)
-        return {
-            "attn_norm": jnp.ones((D,), cfg.dtype),
+        # norm_plus_one (Gemma) stores norm weights centered at 0: (1 + w)
+        norm_init = jnp.zeros if cfg.norm_plus_one else jnp.ones
+        out = {
+            "attn_norm": norm_init((D,), cfg.dtype),
             "wq": dense(ks[0], H * hd, D),
             "wk": dense(ks[1], KVH * hd, D),
             "wv": dense(ks[2], KVH * hd, D),
             "wo": dense(ks[3], D, H * hd),
-            "mlp_norm": jnp.ones((D,), cfg.dtype),
+            "mlp_norm": norm_init((D,), cfg.dtype),
             "gate": dense(ks[4], F, D),
             "up": dense(ks[5], F, D),
             "down": dense(ks[6], D, F),
         }
+        if cfg.attn_bias:  # Qwen2: biases on q/k/v only
+            out["wq_b"] = jnp.zeros((H * hd,), cfg.dtype)
+            out["wk_b"] = jnp.zeros((KVH * hd,), cfg.dtype)
+            out["wv_b"] = jnp.zeros((KVH * hd,), cfg.dtype)
+        return out
 
     return {
         "embed": dense(keys[0], cfg.vocab_size, D),
         "layers": [layer(keys[i + 1]) for i in range(cfg.num_layers)],
-        "final_norm": jnp.ones((D,), cfg.dtype),
+        "final_norm": (jnp.zeros if cfg.norm_plus_one else jnp.ones)((D,), cfg.dtype),
         "lm_head": dense(keys[-1], cfg.vocab_size, D),
     }
 
@@ -206,6 +267,10 @@ def quantize_params_4bit(
             "gate_up": q(jnp.concatenate([layer["gate"], layer["up"]], axis=0)),
             "down": q(layer["down"]),
         }
+        if "wq_b" in layer:  # Qwen2: fuse the q/k/v biases too
+            out["wqkv_b"] = jnp.concatenate(
+                [layer["wq_b"], layer["wk_b"], layer["wv_b"]], axis=0
+            )
         return out
 
     out = dict(params)
@@ -259,9 +324,11 @@ def _apply_linear(x, w, lora=None, threshold: float = 0.0):
     return out
 
 
-def _rmsnorm(x, w, eps):
+def _rmsnorm(x, w, eps, plus_one: bool = False):
     x32 = x.astype(jnp.float32)
     rms = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    if plus_one:  # Gemma stores weights as (w - 1)
+        return (x32 * rms).astype(x.dtype) * (1.0 + w.astype(jnp.float32)).astype(x.dtype)
     return (x32 * rms).astype(x.dtype) * w
 
 
@@ -281,6 +348,8 @@ def _rope(x, positions, theta):
 def _attention(q, k, v, q_positions, kv_len_mask, cfg):
     """q: [B, T, H, hd]; k/v: [B, S, KVH, hd]; kv_len_mask: [B, S] bool of
     valid cache slots; q_positions: [B, T] absolute positions for causality.
+    ``cfg.sliding_window`` (Mistral) restricts attention to the last
+    ``window`` positions.
     """
     B, T, H, hd = q.shape
     S = k.shape[1]
@@ -292,6 +361,10 @@ def _attention(q, k, v, q_positions, kv_len_mask, cfg):
     kv_positions = jnp.arange(S)[None, None, None, :]  # cache slot s holds pos s
     causal = kv_positions <= q_positions[:, None, :, None]
     mask = causal & kv_len_mask[:, None, None, :]
+    window = getattr(cfg, "sliding_window", None)  # duck-typed cfgs (gpt2)
+    if window is not None:
+        recent = kv_positions > q_positions[:, None, :, None] - window
+        mask = mask & recent
     scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhts,bshd->bthd", probs, v)
@@ -317,6 +390,8 @@ def forward(
     B, T = ids.shape
     H, KVH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = jnp.take(params["embed"], ids, axis=0).astype(cfg.dtype)
+    if cfg.scale_embed:  # Gemma multiplies embeddings by sqrt(hidden)
+        x = x * jnp.asarray(cfg.hidden_size**0.5, cfg.dtype)
     start_pos = jnp.asarray(start_pos)
     vector_pos = start_pos.ndim == 1  # per-slot positions (continuous batching)
     if vector_pos and T != 1:
@@ -330,9 +405,11 @@ def forward(
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for li, layer in enumerate(params["layers"]):
         l_lora = lora["layers"][li] if lora is not None else {}
-        h = _rmsnorm(x, layer["attn_norm"], cfg.rms_eps)
+        h = _rmsnorm(x, layer["attn_norm"], cfg.rms_eps, cfg.norm_plus_one)
         if "wqkv" in layer:
             qkv = _apply_linear(h, layer["wqkv"], None, int8_threshold)
+            if "wqkv_b" in layer:
+                qkv = qkv + layer["wqkv_b"].astype(qkv.dtype)
             q, k, v = jnp.split(qkv, [H * hd, (H + KVH) * hd], axis=-1)
             # LoRA deltas for the fused projections apply post-split
             for name_, dst in (("wq", "q"), ("wk", "k"), ("wv", "v")):
@@ -350,9 +427,16 @@ def forward(
             k = k.reshape(B, T, KVH, hd)
             v = v.reshape(B, T, KVH, hd)
         else:
-            q = _apply_linear(h, layer["wq"], l_lora.get("wq"), int8_threshold).reshape(B, T, H, hd)
-            k = _apply_linear(h, layer["wk"], l_lora.get("wk"), int8_threshold).reshape(B, T, KVH, hd)
-            v = _apply_linear(h, layer["wv"], l_lora.get("wv"), int8_threshold).reshape(B, T, KVH, hd)
+            q = _apply_linear(h, layer["wq"], l_lora.get("wq"), int8_threshold)
+            k = _apply_linear(h, layer["wk"], l_lora.get("wk"), int8_threshold)
+            v = _apply_linear(h, layer["wv"], l_lora.get("wv"), int8_threshold)
+            if "wq_b" in layer:  # Qwen2 q/k/v biases
+                q = q + layer["wq_b"].astype(q.dtype)
+                k = k + layer["wk_b"].astype(k.dtype)
+                v = v + layer["wv_b"].astype(v.dtype)
+            q = q.reshape(B, T, H, hd)
+            k = k.reshape(B, T, KVH, hd)
+            v = v.reshape(B, T, KVH, hd)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
@@ -404,7 +488,7 @@ def forward(
 
         x = x + _apply_linear(attn, layer["wo"], l_lora.get("wo"), int8_threshold)
 
-        h = _rmsnorm(x, layer["mlp_norm"], cfg.rms_eps)
+        h = _rmsnorm(x, layer["mlp_norm"], cfg.rms_eps, cfg.norm_plus_one)
         if "gate_up" in layer:
             gu = _apply_linear(h, layer["gate_up"], None, int8_threshold)
             gate, up = jnp.split(gu, 2, axis=-1)
@@ -420,14 +504,16 @@ def forward(
         else:
             gate = _apply_linear(h, layer["gate"], l_lora.get("gate"), int8_threshold)
             up = _apply_linear(h, layer["up"], l_lora.get("up"), int8_threshold)
+        act_fn = jax.nn.silu if cfg.act == "silu" else (
+            lambda v: jax.nn.gelu(v, approximate=True))
         x = x + _apply_linear(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
+            act_fn(gate.astype(jnp.float32)).astype(x.dtype) * up,
             layer["down"],
             l_lora.get("down"),
             int8_threshold,
         )
 
-    x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    x = _rmsnorm(x, params["final_norm"], cfg.rms_eps, cfg.norm_plus_one)
     logits = _apply_linear(x, params["lm_head"], threshold=int8_threshold)
     if cache is not None:
         if isinstance(cache, Int8KVCache):

@@ -268,6 +268,14 @@ def import_hf_llama(
             return quantize(jnp.asarray(W, jnp.float32))
         return jnp.asarray(W, dtype)
 
+    def maybe_bias(name):
+        """q/k/v projection biases (Qwen2-family checkpoints)."""
+        for prefix in ("model.", ""):
+            k = prefix + name + ".bias"
+            if k in sd:
+                return jnp.asarray(to_np(sd[k]), dtype)
+        return None
+
     layers = []
     for i in range(cfg.num_layers):
         layer = {}
@@ -277,6 +285,10 @@ def import_hf_llama(
                 layer[ours] = jnp.asarray(get(full + ".weight"), dtype)
             else:
                 layer[ours] = linear(full)
+                if ours in ("wq", "wk", "wv"):
+                    b = maybe_bias(full)
+                    if b is not None:
+                        layer[ours + "_b"] = b
         layers.append(layer)
 
     embed = jnp.asarray(get("embed_tokens.weight"), dtype)

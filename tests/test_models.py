@@ -127,3 +127,103 @@ def test_lora_applies_on_fused_layout(setup):
     for name in ("wq", "wk", "wv", "gate", "up"):
         ga = np.asarray(g["layers"][0][name]["a"])
         assert np.abs(ga).max() > 0.0, name
+
+
+def _tiny_family(**over):
+    from bitsandbytes_tpu.models.llama import LlamaConfig
+
+    base = dict(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+    )
+    base.update(over)
+    return LlamaConfig(**base)
+
+
+@pytest.mark.parametrize(
+    "name,over",
+    [
+        ("mistral", dict(sliding_window=8)),
+        ("qwen2", dict(attn_bias=True)),
+        ("gemma", dict(act="gelu", norm_plus_one=True, scale_embed=True)),
+    ],
+)
+def test_model_families_quantized_forward(name, over):
+    """Mistral/Qwen2/Gemma-style configs run the quantized decode path end
+    to end (prefill -> decode step, NF4 + fused layout)."""
+    cfg = _tiny_family(**over)
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = L.quantize_params_4bit(params, fuse=True)
+    if over.get("attn_bias"):
+        assert "wqkv_b" in qparams["layers"][0]
+    cache = L.init_kv_cache(cfg, 2, 32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, cfg.vocab_size)
+    logits, cache = L.prefill(qparams, ids, cfg, cache)
+    assert np.isfinite(np.asarray(logits)).all()
+    tok = jnp.argmax(logits[:, -1], -1)
+    out, _ = L.decode_step(qparams, tok, cfg, cache, jnp.asarray(8))
+    assert out.shape == (2, cfg.vocab_size)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sliding_window_masks_old_positions():
+    """Mistral-style local attention: with window w, a query at position p
+    must ignore keys at positions <= p - w (change them -> output constant)."""
+    cfg = _tiny_family(sliding_window=4)
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, cfg.vocab_size)
+    logits1, _ = L.forward(params, ids, cfg)
+    # perturb early tokens (positions 0..7, all > window away from pos 11)
+    ids2 = ids.at[0, :4].set((ids[0, :4] + 1) % cfg.vocab_size)
+    logits2, _ = L.forward(params, ids2, cfg)
+    # the final position attends only to positions 8..11 -> unchanged.
+    # (layer stacking propagates within-window info only: with 2 layers and
+    # window 4, position 11 sees back to position 11 - 2*(4-1) = 5 > 3.)
+    np.testing.assert_allclose(
+        np.asarray(logits1[0, -1]), np.asarray(logits2[0, -1]), atol=1e-5
+    )
+    # sanity: without the window the same perturbation changes the output
+    cfg_full = _tiny_family()
+    l1, _ = L.forward(params, ids, cfg_full)
+    l2, _ = L.forward(params, ids2, cfg_full)
+    assert np.abs(np.asarray(l1[0, -1]) - np.asarray(l2[0, -1])).max() > 1e-4
+
+
+def test_qwen2_bias_participates():
+    cfg = _tiny_family(attn_bias=True)
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    # distinct tokens: a q-bias only shifts attention *weights*, which is
+    # invisible when every value vector is identical
+    ids = jnp.asarray([[3, 7, 11, 2]], jnp.int32)
+    l1, _ = L.forward(params, ids, cfg)
+    params["layers"][0]["wq_b"] = params["layers"][0]["wq_b"] + 1.0
+    l2, _ = L.forward(params, ids, cfg)
+    assert np.abs(np.asarray(l1) - np.asarray(l2)).max() > 1e-5
+
+
+def test_hf_import_qwen2_biases():
+    """import_hf_llama picks up q/k/v projection biases when present."""
+    from bitsandbytes_tpu.utils.serialization import import_hf_llama
+
+    cfg = _tiny_family(attn_bias=True, num_layers=1)
+    rng = np.random.default_rng(0)
+    D, H, KVH, hd, F = 256, 4, 2, 64, 512
+    sd = {}
+    names = {
+        "self_attn.q_proj": (H * hd, D), "self_attn.k_proj": (KVH * hd, D),
+        "self_attn.v_proj": (KVH * hd, D), "self_attn.o_proj": (D, H * hd),
+        "mlp.gate_proj": (F, D), "mlp.up_proj": (F, D), "mlp.down_proj": (D, F),
+    }
+    for hf, shp in names.items():
+        sd[f"model.layers.0.{hf}.weight"] = rng.standard_normal(shp).astype(np.float32) * 0.02
+    for hf in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"):
+        n = names[hf][0]
+        sd[f"model.layers.0.{hf}.bias"] = rng.standard_normal(n).astype(np.float32) * 0.1
+    sd["model.layers.0.input_layernorm.weight"] = np.ones(D, np.float32)
+    sd["model.layers.0.post_attention_layernorm.weight"] = np.ones(D, np.float32)
+    sd["model.embed_tokens.weight"] = rng.standard_normal((512, D)).astype(np.float32) * 0.02
+    sd["model.norm.weight"] = np.ones(D, np.float32)
+    params = import_hf_llama(sd, cfg)
+    assert "wq_b" in params["layers"][0]
+    logits, _ = L.forward(params, jnp.zeros((1, 4), jnp.int32), cfg)
+    assert np.isfinite(np.asarray(logits)).all()

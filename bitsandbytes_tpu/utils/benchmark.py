@@ -36,19 +36,35 @@ def _make_loop(fn: Callable, n_const: int, iters: int):
         def body(i, carry):
             out = fn(*const, *carry)
             leaf = jax.tree_util.tree_leaves(out)[0]
-            dep = leaf.astype(jnp.float32).ravel()[0]
+            # FULL reduction of the first output leaf: consuming a single
+            # element would let XLA dead-code-slice the op to just that
+            # element's dependencies (observed: a matmul reduced to one
+            # row-dot, "measuring" a 4096^3 bf16 matmul at 0.06 ms vs the
+            # true 0.50 ms).  The reduce pass itself is one cheap read of
+            # the output.
+            dep = leaf.astype(jnp.float32).sum()
             # Exact zero that XLA cannot constant-fold (it cannot prove the
             # output is never NaN), so adding it is a numerical no-op while
             # making every argument depend on the previous iteration.
             zero = jnp.where(jnp.isnan(dep), dep, 0.0)
 
             def perturb(a):
+                if jnp.issubdtype(a.dtype, jnp.floating):
+                    # NONLINEAR perturbation: a plain `a + zero` lets the
+                    # algebraic simplifier distribute linear ops —
+                    # dot(a + c, w) == dot(a, w) + c*colsum(w) — hoisting
+                    # the expensive dot out of the loop (observed: a bf16
+                    # 4096^3 matmul "measured" at 0.01 ms).  With
+                    # `zero * sin(a)` every iteration's argument is a fresh
+                    # full-rank unknown, so even a maximally-simplifying
+                    # compiler must run one full op per iteration.
+                    return a + zero.astype(a.dtype) * jnp.sin(a)
                 return a + zero.astype(a.dtype)
             # Every argument depends on the previous iteration's output, so
-            # XLA cannot hoist any part of fn out of the loop.  Args may be
-            # arbitrary pytrees (e.g. whole param trees — pass weights as
-            # args, NOT closed over: closure constants are baked into the
-            # compiled program, which is catastrophic for multi-GB weights).
+            # XLA cannot hoist fn out of the loop.  Args may be arbitrary
+            # pytrees (e.g. whole param trees — pass weights as args, NOT
+            # closed over: closure constants are baked into the compiled
+            # program, which is catastrophic for multi-GB weights).
             return tuple(jax.tree_util.tree_map(perturb, a) for a in args)
 
         final = jax.lax.fori_loop(0, iters, body, tuple(args))

@@ -150,26 +150,25 @@ def _mm_8bit_train_fwd(A, B_fp, threshold):
     """LLM.int8() training forward.
 
     Residuals follow reference MatMul8bitLt (autograd/_functions.py:135-141,
-    186-191): the *column-quantized* int8 activations ``CAt`` + their scales
-    are saved for ``grad_B`` — int8 residual memory instead of fp16 — plus
-    the fp outlier columns when threshold > 0 (the reference's ``subA``,
-    stored here as a masked dense array for jit-static shapes).
+    186-191): with ``threshold == 0`` the *column-quantized* int8
+    activations ``CAt`` + their scales are saved for ``grad_B`` — int8
+    residual memory instead of fp.  With outlier decomposition
+    (``threshold > 0``) the reference stores a dynamically-sized ``subA``;
+    jit-static shapes would force a full dense fp copy on top of the int8
+    residual, so instead the original activations are saved and the
+    column-quantize + outlier split are *rematerialized* in the backward —
+    same residual memory as the plain fp path, no int8 memory regression.
     """
     CB, SCB, _ = int8_vectorwise_quant(B_fp)
     out = _int8_forward(A, CB, SCB, threshold, A.dtype)
     A2 = A.reshape(-1, A.shape[-1])
     if threshold > 0.0:
-        # exclude outlier elements from the int8 residual; keep them in fp
-        outliers = jnp.abs(A2.astype(jnp.float32)) >= threshold
-        outlier_cols = jnp.any(outliers, axis=0)
-        A_in = jnp.where(outlier_cols[None, :], 0.0, A2.astype(jnp.float32))
-        CAt, SCAt = _colwise_quant(A_in)
-        subA = (A2.astype(jnp.float32) * outlier_cols[None, :]).astype(A.dtype)
+        res_a = (A2, None, None)
     else:
         CAt, SCAt = _colwise_quant(A2)
-        subA = None
+        res_a = (None, CAt, SCAt)
     # zero-size token carries B's dtype so the cotangent matches the primal
-    return out, (CAt, SCAt, subA, CB, SCB, jnp.zeros((0,), B_fp.dtype))
+    return out, (res_a, CB, SCB, jnp.zeros((0,), B_fp.dtype))
 
 
 def _mm_8bit_train_bwd(threshold, res, g):
@@ -177,7 +176,7 @@ def _mm_8bit_train_bwd(threshold, res, g):
     an int8 matmul of the column-quantized grad with the column-quantized
     activations (+ fp outlier-column correction); ``grad_A`` contracts with
     the dequantized int8 weight."""
-    CAt, SCAt, subA, CB, SCB, b_token = res
+    (A2_saved, CAt, SCAt), CB, SCB, b_token = res
     W_dq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
     grad_A = jnp.matmul(
         g.astype(jnp.float32), W_dq, preferred_element_type=jnp.float32
@@ -185,16 +184,21 @@ def _mm_8bit_train_bwd(threshold, res, g):
 
     g2 = g.reshape(-1, g.shape[-1])
     Cgt, SCgt = _colwise_quant(g2)
+    if threshold > 0.0:
+        # rematerialize the outlier split (see fwd docstring)
+        A2f = A2_saved.astype(jnp.float32)
+        outlier_cols = jnp.any(jnp.abs(A2f) >= threshold, axis=0)
+        CAt, SCAt = _colwise_quant(jnp.where(outlier_cols[None, :], 0.0, A2f))
     # grad_B[n, k] = sum_m g[m, n] A[m, k]: int8 dot of the transposed
     # column-quantized operands, dequantized by SCgt[n] * SCAt[k] / 127^2
     grad_B = int8_scaled_mm(
         Cgt.T, CAt.T, SCgt, SCAt, dtype=jnp.float32
     )
-    if subA is not None:
+    if threshold > 0.0:
         # outlier columns were zeroed in CAt; add their fp contribution
         # (reference: grad_B[:, idx] += grad_output.t() @ subA)
         grad_B = grad_B + jnp.matmul(
-            g2.T.astype(jnp.float32), subA.astype(jnp.float32),
+            g2.T.astype(jnp.float32), A2f * outlier_cols[None, :],
             preferred_element_type=jnp.float32,
         )
     return grad_A, grad_B.astype(b_token.dtype)

@@ -44,14 +44,6 @@ def _warn_fallback(tag: str, M: int, N: int, K: int, blocksize: int) -> None:
     )
 
 
-def _paired_scale_mode(M: int, N: int, K: int) -> str:
-    """Scale-application mode for the paired kernel.  The on-device sweep
-    (experiments/sweep_paired.py, v5e) has post-dot sub-dot scaling winning
-    or tying per-element expander scaling on every Llama decode shape within
-    a single process (earlier cross-process comparisons were pool noise)."""
-    return "subdot"
-
-
 def _dequant_matmul_fallback(A, B_packed, state: QuantState, bias):
     W = dequantize_4bit(B_packed, quant_state=state).astype(A.dtype)
     # XLA truncates f32 dots to bf16 under --xla_allow_excess_precision;
@@ -99,7 +91,10 @@ def gemm_4bit(
                 code=get_4bit_code(quant_state.quant_type, quant_state.blocksize),
                 blocksize=quant_state.blocksize,
                 shapeB=(N, K),
-                scale_mode=_paired_scale_mode(M, N, K),
+                # post-dot sub-dot scaling won or tied per-element expander
+                # scaling on every Llama decode shape in the on-device sweep
+                # (experiments/sweep_paired.py, v5e)
+                scale_mode="subdot",
             )
             if bias is not None:
                 out = out + bias

@@ -275,6 +275,26 @@ def optimizer_update_32bit(
     return new_p, new_s1, new_s2
 
 
+# id-keyed cache of codebook tuples: the qmaps are long-lived module-level
+# arrays (optim/base.py); without this every optimizer call per param leaf
+# would pull 256 floats to the host and rebuild the static-key tuple.
+_code_tuple_cache: dict = {}
+
+
+def _concrete_code_tuple(q):
+    if q is None:
+        return None
+    qa = jnp.asarray(q)
+    if isinstance(qa, jax.core.Tracer):
+        return None
+    ent = _code_tuple_cache.get(id(qa))
+    if ent is not None and ent[0] is qa:
+        return ent[1]
+    t = tuple(float(x) for x in np.asarray(qa).reshape(-1)[:256])
+    _code_tuple_cache[id(qa)] = (qa, t)
+    return t
+
+
 def optimizer_update_8bit_blockwise(
     optimizer_name: str,
     g: jax.Array,
@@ -318,16 +338,8 @@ def optimizer_update_8bit_blockwise(
     """
     from ..ops import dispatch
 
-    def _concrete(q):
-        if q is None:
-            return None
-        qa = jnp.asarray(q)
-        if isinstance(qa, jax.core.Tracer):
-            return None
-        return tuple(float(x) for x in np.asarray(qa).reshape(-1)[:256])
-
-    code1_t = _concrete(qmap1)
-    code2_t = _concrete(qmap2)
+    code1_t = _concrete_code_tuple(qmap1)
+    code2_t = _concrete_code_tuple(qmap2)
     concrete = code1_t is not None and (qmap2 is None or code2_t is not None)
 
     kwargs = dict(
@@ -353,7 +365,7 @@ def optimizer_update_8bit_blockwise(
         )
     return _optimizer_update_8bit_jnp(
         optimizer_name, g, p, state1, state2, qmap1, qmap2, absmax1, absmax2,
-        **kwargs,
+        fixup=apply_sign_fixup, **kwargs,
     )
 
 
@@ -474,6 +486,7 @@ def _optimizer_update_8bit_jnp(
     absmax1: jax.Array,
     absmax2: Optional[jax.Array],
     *,
+    fixup: bool = True,
     beta1: float,
     beta2: float,
     beta3: float = 0.0,
@@ -529,13 +542,27 @@ def _optimizer_update_8bit_jnp(
     if new_s2 is not None:
         new_s2 = jnp.where(finite, new_s2, 0.0)
 
+    def _fixup_traced(q, vals):
+        """Sign-preservation bump (kernels.cu:1118-1133) with a traced
+        codebook: signbit(code[q]) vs signbit(value), +/-1 toward the true
+        sign; disabled in-graph for unsigned maps."""
+        if not fixup:
+            return q
+        qi = q.astype(jnp.int32)
+        code_neg = jnp.signbit(jnp.take(qmap1, qi))
+        mismatch = code_neg != jnp.signbit(vals)
+        bumped = jnp.where(mismatch, jnp.where(jnp.signbit(vals), qi - 1, qi + 1), qi)
+        signed_map = jnp.any(qmap1 < 0)
+        return jnp.where(signed_map, bumped, qi).astype(jnp.uint8)
+
     if optimizer_name == "ademamix":
         q1_1, am1_1 = quantize_blockwise_with_code(new_s1[0], qmap1, bs)
         q1_2, am1_2 = quantize_blockwise_with_code(new_s1[1], qmap1, bs)
-        new_state1 = jnp.stack([q1_1, q1_2])
+        new_state1 = jnp.stack([_fixup_traced(q1_1, new_s1[0]), _fixup_traced(q1_2, new_s1[1])])
         new_absmax1 = jnp.stack([am1_1, am1_2])
     else:
         new_state1, new_absmax1 = quantize_blockwise_with_code(new_s1, qmap1, bs)
+        new_state1 = _fixup_traced(new_state1, new_s1)
     new_state2 = new_absmax2 = None
     if new_s2 is not None:
         new_state2, new_absmax2 = quantize_blockwise_with_code(new_s2, qmap2, bs)

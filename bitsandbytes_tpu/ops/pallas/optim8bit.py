@@ -23,6 +23,7 @@ approach (XLA lowers 256-entry dynamic gathers to a scalar path).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -253,7 +254,7 @@ def _run(
     two_state, fixup,
 ):
     NB = g2.shape[0]
-    TB = min(512, NB)
+    TB = min(int(os.environ.get("BNB_OPT8_TB", "512")), NB)
     while NB % TB:
         TB //= 2
     grid = (NB // TB,)

@@ -64,7 +64,10 @@ def _sample_tokens(logits, temps, top_ps, key):
     scaled = vals / jnp.maximum(temps, 1e-6)[:, None]
     probs = jax.nn.softmax(scaled, axis=-1)
     csum = jnp.cumsum(probs, axis=-1)
-    keep = (csum - probs) < top_ps[:, None]  # always keeps the top token
+    keep = (csum - probs) < top_ps[:, None]
+    # force-keep the top candidate: with top_p == 0.0 the exclusive-cumsum
+    # test keeps nothing, which would turn the draw uniform over the pool
+    keep = keep | (jax.lax.broadcasted_iota(jnp.int32, keep.shape, 1) == 0)
     probs = jnp.where(keep, probs, 0.0)
     logp = jnp.log(jnp.maximum(probs, 1e-30))
     choice = jax.random.categorical(key, logp, axis=-1)
@@ -141,23 +144,28 @@ class ContinuousBatchingEngine:
         self.steps_per_sync = max(1, steps_per_sync)
         S = self.steps_per_sync
 
-        @jax.jit
-        def decode(params, cache, tokens, positions, temps, top_ps, key):
+        @partial(jax.jit, static_argnames=("sampling",))
+        def decode(params, cache, tokens, positions, temps, top_ps, key, sampling):
             """S decode steps per host round trip: the host<->device sync
             per step dominates wall clock on remote runtimes (measured
             35 tok/s at 1 step/sync vs ~2.2k tok/s kernel-level), so the
             inner loop runs on-device and tokens sync in chunks.  Slots that
             finish mid-chunk produce extra tokens that the host discards.
-            Per-slot temperature/top-p sampling; temperature 0 = greedy."""
+            Per-slot temperature/top-p sampling; ``sampling=False`` (all
+            slots greedy, the default) compiles a pure-argmax program with
+            no top-k/softmax/categorical work."""
 
             def step(i, carry):
                 toks, cache, pos, out = carry
                 logits, cache = L.forward(
                     params, toks[:, None], cfg_, cache=cache, start_pos=pos
                 )
-                nxt = _sample_tokens(
-                    logits[:, 0], temps, top_ps, jax.random.fold_in(key, i)
-                )
+                if sampling:
+                    nxt = _sample_tokens(
+                        logits[:, 0], temps, top_ps, jax.random.fold_in(key, i)
+                    )
+                else:
+                    nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
                 out = jax.lax.dynamic_update_index_in_dim(out, nxt, i, axis=0)
                 return nxt, cache, pos + 1, out
 
@@ -169,8 +177,8 @@ class ContinuousBatchingEngine:
 
         self._decode = decode
 
-        @partial(jax.jit, static_argnames=("pad_len",))
-        def prefill_one(params, cache1, ids_padded, true_len, pad_len, temp, top_p, key):
+        @partial(jax.jit, static_argnames=("pad_len", "sampling"))
+        def prefill_one(params, cache1, ids_padded, true_len, pad_len, temp, top_p, key, sampling):
             # run the padded prompt through a single-slot cache; positions
             # beyond true_len hold garbage K/V but are masked by the valid
             # length at decode time
@@ -178,12 +186,15 @@ class ContinuousBatchingEngine:
                 params, ids_padded, cfg_, cache=cache1, start_pos=0
             )
             last = logits[0, true_len - 1]
-            nxt = _sample_tokens(
-                last[None, :],
-                jnp.asarray([temp], jnp.float32),
-                jnp.asarray([top_p], jnp.float32),
-                key,
-            )[0]
+            if sampling:
+                nxt = _sample_tokens(
+                    last[None, :],
+                    jnp.asarray(temp, jnp.float32)[None],
+                    jnp.asarray(top_p, jnp.float32)[None],
+                    key,
+                )[0]
+            else:
+                nxt = jnp.argmax(last, -1).astype(jnp.int32)
             return nxt, cache1
 
         self._prefill_one = prefill_one
@@ -235,12 +246,18 @@ class ContinuousBatchingEngine:
         ids_p = np.zeros((1, pad_len), np.int32)
         ids_p[0, : len(ids)] = ids
         cache1 = jax.tree_util.tree_map(lambda x: x[:, b : b + 1], self.cache)
-        key = jax.random.fold_in(self._base_key, (req.request_id << 20) + 1)
+        # two-level fold_in: a single fold of (rid << 20) overflows uint32
+        # at request_id 4096; folding rid and the prefill tag separately is
+        # collision-free for any rid and disjoint from the decode key stream
+        key = jax.random.fold_in(
+            jax.random.fold_in(self._base_key, req.request_id % (1 << 31)), 1
+        )
         self.temps[b] = req.temperature
         self.top_ps[b] = req.top_p
         nxt, cache1 = self._prefill_one(
             self.params, cache1, jnp.asarray(ids_p), len(ids), pad_len,
             req.temperature, req.top_p, key,
+            sampling=req.temperature > 0.0,
         )
         # write the slot back into the big cache (async dispatch)
         self.cache = jax.tree_util.tree_map(
@@ -267,11 +284,15 @@ class ContinuousBatchingEngine:
             active[b] = True
         positions = jnp.asarray(np.where(active, self.lengths, 0), jnp.int32)
         tokens = jnp.asarray(self.cur_token, jnp.int32)
-        key = jax.random.fold_in(self._base_key, self._step_count)
+        key = jax.random.fold_in(
+            jax.random.fold_in(self._base_key, self._step_count % (1 << 31)), 0
+        )
         self._step_count += 1
+        sampling = bool((self.temps > 0).any())
         chunk, self.cache = self._decode(
             self.params, self.cache, tokens, positions,
             jnp.asarray(self.temps), jnp.asarray(self.top_ps), key,
+            sampling=sampling,
         )
         chunk = np.asarray(chunk)  # [S, B]
         S = chunk.shape[0]

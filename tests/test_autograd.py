@@ -116,3 +116,38 @@ def test_outlier_threshold_forward_grad():
     A = A.at[:, 3].set(20.0)  # plant outliers
     g = jax.grad(lambda a: jnp.sum(bnb.matmul(a, None, state)))(A)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_int8_training_grad_with_outliers():
+    """threshold > 0 training: grad_B = int8 part (outlier columns zeroed)
+    + exact fp contribution of the outlier columns (reference
+    _functions.py:229-233); total must match the straight-through g^T @ A
+    within the int8 budget and be EXACT on the outlier columns."""
+    K, N, B = 256, 128, 8
+    key = jax.random.PRNGKey(3)
+    Wf = jax.random.normal(key, (N, K), jnp.float32) * 0.1
+    A = jax.random.normal(jax.random.PRNGKey(4), (B, K), jnp.float32)
+    # plant strong outliers in two columns
+    A = A.at[:, 7].mul(20.0).at[:, 101].mul(25.0)
+    th = 6.0
+    state = bnb.MatmulLtState(has_fp16_weights=True, threshold=th)
+
+    def f(a, w):
+        return jnp.sum(bnb.matmul(a, w, state) ** 2)
+
+    ga, gw = jax.grad(f, argnums=(0, 1))(A, Wf)
+    out = bnb.matmul(A, Wf, state)
+    g_out = np.asarray(2.0 * out.astype(jnp.float32))
+    A_np = np.asarray(A)
+    outlier_cols = (np.abs(A_np) >= th).any(axis=0)
+    assert outlier_cols[7] and outlier_cols[101]
+    gw_exact = g_out.T @ A_np
+    gw_np = np.asarray(gw)
+    # outlier columns carry the exact fp correction
+    np.testing.assert_allclose(
+        gw_np[:, outlier_cols], gw_exact[:, outlier_cols], rtol=1e-4, atol=1e-3
+    )
+    # inlier columns within the int8 quantization budget
+    scale = np.abs(gw_exact).max()
+    assert np.abs(gw_np - gw_exact).max() / scale < 0.05
+    assert np.isfinite(np.asarray(ga)).all()

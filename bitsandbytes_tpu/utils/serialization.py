@@ -239,10 +239,15 @@ def import_hf_llama(
                     quant_type=mode,
                     blocksize=64,
                     dtype=jnp.float32,
+                    layout="2d",
                 )
-                return QuantizedTensor(
+                qt = QuantizedTensor(
                     data=jnp.asarray(packed.reshape(Wnp.shape[0], -1)), state=state
                 )
+                if Wnp.shape[0] % 2 == 0:
+                    # serve through the fast paired decode kernel
+                    qt = qt.to_layout("paired")
+                return qt
             return QuantizedTensor.quantize(jnp.asarray(Wnp), quant_type=mode)
 
     def to_np(t):

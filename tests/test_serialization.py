@@ -126,7 +126,9 @@ def test_import_hf_llama_string_quantize(setup, mode):
         assert isinstance(leaf, Int8TensorState)
     else:
         assert isinstance(leaf, QuantizedTensor)
-        # bit-identical to the jnp quantizer
+        # served in the fast paired decode layout...
+        assert leaf.state.layout == "paired"
+        # ...and bit-identical to the jnp quantizer after relayout
         import bitsandbytes_tpu.functional as F_
 
         ref_packed, ref_qs = F_.quantize_4bit(
@@ -135,7 +137,11 @@ def test_import_hf_llama_string_quantize(setup, mode):
             quant_type="nf4",
             layout="2d",
         )
-        np.testing.assert_array_equal(np.asarray(leaf.data), np.asarray(ref_packed))
-        np.testing.assert_array_equal(np.asarray(leaf.state.absmax), np.asarray(ref_qs.absmax))
+        leaf2d = leaf.to_layout("2d")
+        np.testing.assert_array_equal(np.asarray(leaf2d.data), np.asarray(ref_packed))
+        np.testing.assert_array_equal(
+            np.asarray(leaf2d.state.absmax).reshape(-1),
+            np.asarray(ref_qs.absmax).reshape(-1),
+        )
     logits, _ = L.forward(tree, jnp.zeros((1, 4), jnp.int32), cfg)
     assert np.isfinite(np.asarray(logits)).all()

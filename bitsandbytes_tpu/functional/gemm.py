@@ -25,6 +25,11 @@ __all__ = ["gemm_4bit", "gemv_4bit"]
 logger = logging.getLogger(__name__)
 _warned: set = set()
 
+# Crossover where materialize-bf16 + full-depth MXU dot beats the fused
+# kernel (measured on v5e: fused caps at ~78 TFLOPs from decode/scale work;
+# dequant+dot reaches 92-173 TFLOPs for M in 512..4096).
+LARGE_M_THRESHOLD = 512
+
 
 def _warn_fallback(tag: str, M: int, N: int, K: int, blocksize: int) -> None:
     """One-time perf-footgun warning (reference analog: the blocksize-
@@ -81,9 +86,40 @@ def gemm_4bit(
             paired_gemm_supported,
         )
 
-        if paired_gemm_supported(M, N, K, quant_state.blocksize):
-            from .codebooks import get_4bit_code
+        from .codebooks import get_4bit_code
+        from ..ops.pallas.gemm4bit_paired import (
+            dequantize_paired_fast,
+            paired_dequant_supported,
+        )
 
+        # Large-M (prefill/training) route: the fused kernel's decode/scale
+        # work caps MXU utilization (~78 TFLOPs measured); materialize the
+        # bf16 weight with the one-pass dequant kernel and run a full-depth
+        # MXU dot instead.  Crossover measured at M ~ 512 on v5e.
+        if (
+            M >= LARGE_M_THRESHOLD
+            and A.dtype == jnp.bfloat16
+            and paired_dequant_supported(N, K, quant_state.blocksize)
+        ):
+            W = dequantize_paired_fast(
+                B_packed.reshape(N // 2, K),
+                quant_state.dequant_absmax_t(),
+                code=tuple(
+                    float(x)
+                    for x in get_4bit_code(quant_state.quant_type, quant_state.blocksize)
+                ),
+                blocksize=quant_state.blocksize,
+                dtype=jnp.bfloat16,
+            )
+            out = jax.lax.dot_general(
+                A, W, (((A.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(A.dtype)
+            if bias is not None:
+                out = out + bias
+            return out
+
+        if paired_gemm_supported(M, N, K, quant_state.blocksize):
             out = gemm_4bit_paired(
                 A,
                 B_packed.reshape(N // 2, K),
@@ -153,13 +189,35 @@ def gemm_4bit_grad_A(
 
     if dispatch.use_pallas() and quant_state.layout == "paired":
         from ..ops.pallas.gemm4bit_paired import (
+            dequantize_paired_fast,
             gemm_4bit_paired_nt,
+            paired_dequant_supported,
             paired_gemm_nt_supported,
         )
+        from .codebooks import get_4bit_code
+
+        # large-M training backward: materialize bf16 W once, full-depth dot
+        if (
+            M >= LARGE_M_THRESHOLD
+            and g.dtype == jnp.bfloat16
+            and paired_dequant_supported(N, K, quant_state.blocksize)
+        ):
+            W = dequantize_paired_fast(
+                B_packed.reshape(N // 2, K),
+                quant_state.dequant_absmax_t(),
+                code=tuple(
+                    float(x)
+                    for x in get_4bit_code(quant_state.quant_type, quant_state.blocksize)
+                ),
+                blocksize=quant_state.blocksize,
+                dtype=jnp.bfloat16,
+            )
+            return jax.lax.dot_general(
+                g, W, (((g.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(g.dtype)
 
         if paired_gemm_nt_supported(M, N, K, quant_state.blocksize):
-            from .codebooks import get_4bit_code
-
             return gemm_4bit_paired_nt(
                 g,
                 B_packed.reshape(N // 2, K),

@@ -55,6 +55,8 @@ __all__ = [
     "gemm_4bit_paired",
     "paired_gemm_nt_supported",
     "gemm_4bit_paired_nt",
+    "paired_dequant_supported",
+    "dequantize_paired_fast",
 ]
 
 
@@ -461,3 +463,69 @@ def gemm_4bit_paired_nt(
         G.reshape(M, N), P, absmax_t, code=code_t, blocksize=blocksize, out_dtype=out_dtype
     )
     return out.reshape(*lead, K)
+
+
+# ---------------------------------------------------------------------------
+# Fast bf16 dequantize of the paired layout (prefill/training route): for
+# M >~ 512 the MXU is the bottleneck, and a materialize-then-matmul beats the
+# fused kernel whose sub-dots/scale work cap MXU utilization — decode once at
+# HBM-bound speed, then run the full-K bf16 dot at full MXU depth.
+# ---------------------------------------------------------------------------
+
+
+def _paired_dequant_kernel(bp_ref, scale_ref, out_ref, *, code_t, blocksize):
+    p = bp_ref[:].astype(jnp.int32)
+    units = _to_bf16_rows(_decode_pair_word(p, code_t))  # [TN, TK]
+    TK = p.shape[1]
+    nb = TK // blocksize
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, TK), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, TK), 1) // blocksize
+    E = (rows == cols).astype(jnp.float32)
+    sc = jax.lax.dot_general(
+        scale_ref[:], E, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # [TN, TK]
+    out_ref[:] = (units.astype(jnp.float32) * sc).astype(out_ref.dtype)
+
+
+def _dequant_tiles_paired(N: int, K: int, blocksize: int):
+    TN = next((t for t in (512, 256, 128, 64, 32, 16) if N % t == 0), None)
+    TK = next(
+        (t for t in (2048, 1024, 512, 256)
+         if K % t == 0 and t % blocksize == 0 and (t // blocksize) % 8 == 0),
+        None,
+    )
+    return TN, TK
+
+
+def paired_dequant_supported(N: int, K: int, blocksize: int) -> bool:
+    if N % 2 or K % blocksize:
+        return False
+    TN, TK = _dequant_tiles_paired(N, K, blocksize)
+    return TN is not None and TK is not None
+
+
+@functools.partial(jax.jit, static_argnames=("code", "blocksize", "dtype"))
+def dequantize_paired_fast(P, absmax_t, *, code, blocksize, dtype=jnp.bfloat16):
+    """Paired payload [N/2, K] -> dequantized weight [N, K] in ``dtype``.
+
+    One HBM pass; the per-element scale broadcast rides the MXU expander
+    (bf16-mantissa scale — the same accuracy class as the fused kernel's
+    weight rounding, NOT the bit-exact oracle path; use for matmul inputs,
+    not for checkpoint round-trips)."""
+    N2, K = P.shape
+    N = 2 * N2
+    code_t = tuple(float(x) for x in np.asarray(code).reshape(-1)[:16])
+    TN, TK = _dequant_tiles_paired(N, K, blocksize)
+    return pl.pallas_call(
+        functools.partial(_paired_dequant_kernel, code_t=code_t, blocksize=blocksize),
+        grid=(N // TN, K // TK),
+        in_specs=[
+            pl.BlockSpec((TN // 2, TK), lambda i, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK // blocksize, TN), lambda i, k: (k, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TN, TK), lambda i, k: (i, k), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, K), jnp.dtype(dtype)),
+        interpret=_interpret(),
+    )(P, absmax_t)

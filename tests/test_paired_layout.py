@@ -176,3 +176,55 @@ def test_paired_double_quant_dispatch():
     y = np.asarray(bnb.matmul_4bit(x, qt.data, qt.state), np.float32)
     ref = np.asarray(x, np.float32) @ W.T
     assert np.abs(y - ref).max() / np.abs(ref).max() < 0.2  # 4-bit quant noise
+
+
+def test_paired_fast_dequant_matches_class_dequant():
+    """dequantize_paired_fast (the large-M matmul route) must match the
+    exact dequantization within the bf16 weight-rounding class."""
+    from bitsandbytes_tpu.ops.pallas.gemm4bit_paired import (
+        dequantize_paired_fast,
+        paired_dequant_supported,
+    )
+
+    rng = np.random.default_rng(8)
+    N, K, bs = 128, 512, 64
+    W = (rng.standard_normal((N, K)) / 8).astype(np.float32)
+    qt = QuantizedTensor.quantize(jnp.asarray(W), blocksize=bs, layout="paired")
+    assert paired_dequant_supported(N, K, bs)
+    Wf = np.asarray(
+        dequantize_paired_fast(
+            qt.data, qt.state.dequant_absmax_t(),
+            code=tuple(float(x) for x in get_4bit_code("nf4", bs)),
+            blocksize=bs, dtype=jnp.bfloat16,
+        ),
+        np.float32,
+    )
+    Wexact = np.asarray(qt.dequantize(), np.float32)
+    rel = np.abs(Wf - Wexact).max() / (np.abs(Wexact).max() + 1e-9)
+    assert rel < 1e-2, rel  # two bf16 roundings
+
+
+def test_large_m_route_matches_fused():
+    """The M >= 512 dequant+dot route must agree with the fused kernel to
+    quantization-rounding tolerance, forward and grad."""
+    rng = np.random.default_rng(9)
+    N, K, bs = 128, 512, 64
+    W = (rng.standard_normal((N, K)) / np.sqrt(K)).astype(np.float32)
+    qt = QuantizedTensor.quantize(jnp.asarray(W), blocksize=bs, layout="paired")
+    A_small = jnp.asarray(rng.standard_normal((8, K)), jnp.bfloat16)
+    A_big = jnp.concatenate([A_small] * 64, axis=0)  # M=512: the dequant route
+    y_small = np.asarray(bnb.matmul_4bit(A_small, qt.data, qt.state), np.float32)
+    y_big = np.asarray(bnb.matmul_4bit(A_big, qt.data, qt.state), np.float32)
+    np.testing.assert_allclose(y_big[:8], y_small, rtol=3e-2, atol=3e-2)
+
+    g_small = jax.grad(
+        lambda x: bnb.matmul_4bit(x.astype(jnp.bfloat16), qt.data, qt.state)
+        .astype(jnp.float32).sum()
+    )(A_small.astype(jnp.float32))
+    g_big = jax.grad(
+        lambda x: bnb.matmul_4bit(x.astype(jnp.bfloat16), qt.data, qt.state)
+        .astype(jnp.float32).sum()
+    )(A_big.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(g_big)[:8], np.asarray(g_small), rtol=3e-2, atol=3e-2
+    )

@@ -227,3 +227,29 @@ def test_hf_import_qwen2_biases():
     assert "wq_b" in params["layers"][0]
     logits, _ = L.forward(params, jnp.zeros((1, 4), jnp.int32), cfg)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.tpu_only
+def test_flash_attention_path_matches_dense():
+    """The Pallas flash-attention route (no-cache causal, T >= 1024) must
+    match the masked dense path within bf16 class and be differentiable.
+    TPU-only: the upstream kernel has no interpret mode."""
+    import dataclasses
+    from bitsandbytes_tpu.models.llama import _flash_ok
+
+    cfg = L.LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=2, num_kv_heads=2, head_dim=128,
+    )
+    assert _flash_ok(cfg, 1024, 128)
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 1024), 0, cfg.vocab_size)
+    lf, _ = jax.jit(lambda p, i: L.forward(p, i, cfg))(params, ids)
+    # a huge sliding window makes the mask identical but forces dense
+    cfg_dense = dataclasses.replace(cfg, sliding_window=1 << 20)
+    ld, _ = jax.jit(lambda p, i: L.forward(p, i, cfg_dense))(params, ids)
+    a, b = np.asarray(lf), np.asarray(ld)
+    rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+    assert rel < 2e-2, rel
+    g = jax.grad(lambda p: L.forward(p, ids, cfg)[0].astype(jnp.float32).sum())(params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))

@@ -85,17 +85,36 @@ def main():
 
     # The shared TPU pool fluctuates ~2x over minutes and hits the
     # VPU-bound NF4 kernels harder than the DMA-bound bf16 path; interleave
-    # the two measurements and take each variant's best to compare like
-    # against like.
+    # the measurements so each pass compares like against like, compute the
+    # RATIO per pass, and report the median with spread (honest-reporting
+    # policy: median ± {min, max, n}, never the best observed run).
     q8params = L.quantize_params_int8(params)
     jax.block_until_ready(jax.tree_util.tree_leaves(q8params))
-    bf16_tok_s, nf4_tok_s, int8_tok_s = 0.0, 0.0, 0.0
-    for _ in range(2):
-        bf16_tok_s = max(bf16_tok_s, _time_decode(params, cfg, bs, cache_len, iters))
-        nf4_tok_s = max(nf4_tok_s, _time_decode(qparams, cfg, 2 * bs, cache_len, iters))
-        int8_tok_s = max(int8_tok_s, _time_decode(q8params, cfg, 2 * bs, cache_len, iters))
+    n_passes = 3 if on_tpu else 2
+    bf16_s, nf4_s, int8_s, r_nf4, r_int8 = [], [], [], [], []
+    for _ in range(n_passes):
+        b = _time_decode(params, cfg, bs, cache_len, iters)
+        n = _time_decode(qparams, cfg, 2 * bs, cache_len, iters)
+        i8 = _time_decode(q8params, cfg, 2 * bs, cache_len, iters)
+        bf16_s.append(b)
+        nf4_s.append(n)
+        int8_s.append(i8)
+        r_nf4.append(n / b)
+        r_int8.append(i8 / b)
 
-    ratio = nf4_tok_s / bf16_tok_s
+    def med(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    def spread(xs, nd=2):
+        return {
+            "median": round(med(xs), nd),
+            "min": round(min(xs), nd),
+            "max": round(max(xs), nd),
+            "n": len(xs),
+        }
+
+    ratio = med(r_nf4)
+    bf16_tok_s, nf4_tok_s, int8_tok_s = med(bf16_s), med(nf4_s), med(int8_s)
 
     # %SoL under an HBM-bound model (BASELINE.md requirement): bytes a
     # decode step must move = layer weights (packed payload + absmax for
@@ -123,10 +142,11 @@ def main():
                 "unit": "ratio",
                 "vs_baseline": round(ratio / 0.85, 4),
                 "detail": {
-                    "bf16_tok_s": round(bf16_tok_s, 2),
-                    "nf4_tok_s_2xbatch": round(nf4_tok_s, 2),
-                    "int8_tok_s_2xbatch": round(int8_tok_s, 2),
-                    "int8_ratio_2xbatch": round(int8_tok_s / bf16_tok_s, 4),
+                    "ratio": spread(r_nf4, 4),
+                    "bf16_tok_s": spread(bf16_s),
+                    "nf4_tok_s_2xbatch": spread(nf4_s),
+                    "int8_tok_s_2xbatch": spread(int8_s),
+                    "int8_ratio_2xbatch": spread(r_int8, 4),
                     "sol_bf16": sol(bf16_tok_s, bs, w_bf16),
                     "sol_nf4": sol(nf4_tok_s, 2 * bs, w_nf4),
                     "sol_int8": sol(int8_tok_s, 2 * bs, w_int8),

@@ -113,6 +113,9 @@ class MatmulLtState:
     SCB: Optional[jax.Array] = None
     threshold: float = 0.0
     has_fp16_weights: bool = False
+    # static residual budget for outlier columns in the training backward
+    # (None -> _outlier_budget(K)); the reference's subA is dynamically sized
+    outlier_budget: Optional[int] = None
 
 
 def _int8_forward(A, CB, SCB, threshold, out_dtype):
@@ -140,43 +143,65 @@ def _colwise_quant(x2d):
     return jnp.clip(q, -127, 127).astype(jnp.int8), col_stats
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _mm_8bit_train(A, B_fp, threshold):
+def _outlier_budget(K: int) -> int:
+    """Static residual budget for outlier columns: LLM.int8() finds ~0.1% of
+    feature dims are outliers at threshold 6.0 (arXiv:2208.07339 §3), so
+    K/64 (~1.6%) is a 16x safety margin while keeping the fp residual slice
+    ~3% of the int8 residual's bytes."""
+    return min(K, max(32, K // 64))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _mm_8bit_train(A, B_fp, threshold, outlier_budget):
     CB, SCB, _ = int8_vectorwise_quant(B_fp)
     return _int8_forward(A, CB, SCB, threshold, A.dtype)
 
 
-def _mm_8bit_train_fwd(A, B_fp, threshold):
+def _mm_8bit_train_fwd(A, B_fp, threshold, outlier_budget):
     """LLM.int8() training forward.
 
     Residuals follow reference MatMul8bitLt (autograd/_functions.py:135-141,
-    186-191): with ``threshold == 0`` the *column-quantized* int8
-    activations ``CAt`` + their scales are saved for ``grad_B`` — int8
-    residual memory instead of fp.  With outlier decomposition
-    (``threshold > 0``) the reference stores a dynamically-sized ``subA``;
-    jit-static shapes would force a full dense fp copy on top of the int8
-    residual, so instead the original activations are saved and the
-    column-quantize + outlier split are *rematerialized* in the backward —
-    same residual memory as the plain fp path, no int8 memory regression.
+    186-191): the *column-quantized* int8 activations ``CAt`` + their scales
+    are saved for ``grad_B`` — int8 residual memory instead of fp.  With
+    outlier decomposition (``threshold > 0``) the reference stores a
+    dynamically-sized fp ``subA`` slice; jit-static shapes replace it with a
+    FIXED-BUDGET slice: the top-``outlier_budget`` columns by column absmax.
+    Every true outlier column has absmax >= threshold while inlier columns
+    don't, so the top-k capture is EXACT whenever the outlier count fits the
+    budget (the ~16x-margin default, :func:`_outlier_budget`).  Columns
+    beyond the budget are left int8-quantized in ``CAt`` instead of zeroed,
+    so an overflow degrades those columns' grad_B to int8 precision rather
+    than dropping them.  Residual bytes: int8 [M, K] + fp [M, budget] —
+    ~(1/2 + budget/K) of an fp16 activation copy, matching the reference's
+    int8+subA story.
     """
     CB, SCB, _ = int8_vectorwise_quant(B_fp)
     out = _int8_forward(A, CB, SCB, threshold, A.dtype)
     A2 = A.reshape(-1, A.shape[-1])
     if threshold > 0.0:
-        res_a = (A2, None, None)
+        A2f = A2.astype(jnp.float32)
+        K = A2.shape[-1]
+        colmax = jnp.max(jnp.abs(A2f), axis=0)
+        _, idx = jax.lax.top_k(colmax, min(outlier_budget, K))
+        captured = colmax[idx] >= threshold  # budget slots holding outliers
+        subA = (jnp.take(A2f, idx, axis=1) * captured[None, :]).astype(A2.dtype)
+        capture_mask = jnp.zeros((K,), bool).at[idx].set(captured)
+        CAt, SCAt = _colwise_quant(jnp.where(capture_mask[None, :], 0.0, A2f))
+        res_a = (CAt, SCAt, subA, idx)
     else:
         CAt, SCAt = _colwise_quant(A2)
-        res_a = (None, CAt, SCAt)
+        res_a = (CAt, SCAt, None, None)
     # zero-size token carries B's dtype so the cotangent matches the primal
     return out, (res_a, CB, SCB, jnp.zeros((0,), B_fp.dtype))
 
 
-def _mm_8bit_train_bwd(threshold, res, g):
+def _mm_8bit_train_bwd(threshold, outlier_budget, res, g):
     """Backward per reference autograd/_functions.py:202-242: ``grad_B`` is
     an int8 matmul of the column-quantized grad with the column-quantized
-    activations (+ fp outlier-column correction); ``grad_A`` contracts with
-    the dequantized int8 weight."""
-    (A2_saved, CAt, SCAt), CB, SCB, b_token = res
+    activations, plus the fp outlier correction scattered into the captured
+    columns (reference: ``grad_B[:, idx] += grad_output.t() @ subA``);
+    ``grad_A`` contracts with the dequantized int8 weight."""
+    (CAt, SCAt, subA, idx), CB, SCB, b_token = res
     W_dq = CB.astype(jnp.float32) * (SCB[:, None] / 127.0)
     grad_A = jnp.matmul(
         g.astype(jnp.float32), W_dq, preferred_element_type=jnp.float32
@@ -184,23 +209,17 @@ def _mm_8bit_train_bwd(threshold, res, g):
 
     g2 = g.reshape(-1, g.shape[-1])
     Cgt, SCgt = _colwise_quant(g2)
-    if threshold > 0.0:
-        # rematerialize the outlier split (see fwd docstring)
-        A2f = A2_saved.astype(jnp.float32)
-        outlier_cols = jnp.any(jnp.abs(A2f) >= threshold, axis=0)
-        CAt, SCAt = _colwise_quant(jnp.where(outlier_cols[None, :], 0.0, A2f))
     # grad_B[n, k] = sum_m g[m, n] A[m, k]: int8 dot of the transposed
     # column-quantized operands, dequantized by SCgt[n] * SCAt[k] / 127^2
     grad_B = int8_scaled_mm(
         Cgt.T, CAt.T, SCgt, SCAt, dtype=jnp.float32
     )
     if threshold > 0.0:
-        # outlier columns were zeroed in CAt; add their fp contribution
-        # (reference: grad_B[:, idx] += grad_output.t() @ subA)
-        grad_B = grad_B + jnp.matmul(
-            g2.T.astype(jnp.float32), A2f * outlier_cols[None, :],
+        corr = jnp.matmul(
+            g2.T.astype(jnp.float32), subA.astype(jnp.float32),
             preferred_element_type=jnp.float32,
-        )
+        )  # [N, budget]
+        grad_B = grad_B.at[:, idx].add(corr)
     return grad_A, grad_B.astype(b_token.dtype)
 
 
@@ -243,7 +262,10 @@ def matmul(
     ignored for the forward.
     """
     if state.has_fp16_weights:
-        out = _mm_8bit_train(A, B, float(state.threshold))
+        budget = state.outlier_budget
+        if budget is None:
+            budget = _outlier_budget(A.shape[-1])
+        out = _mm_8bit_train(A, B, float(state.threshold), int(budget))
     else:
         out = _mm_8bit_frozen(A, state.CB, state.SCB, float(state.threshold))
     if bias is not None:

@@ -37,7 +37,9 @@ def _warn_fallback(tag: str, M: int, N: int, K: int, blocksize: int) -> None:
     944-948, nn/modules.py:582-591): on TPU the dequantize-then-matmul
     fallback materializes the bf16 weight in HBM — measured ~4x slower
     than the fused kernel on decode shapes."""
-    key = (tag, M, N, K, blocksize)
+    # keyed without M: dynamic batch/seq workloads vary M per call — keying
+    # on M would log per new shape and grow the set without bound
+    key = (tag, N, K, blocksize)
     if key in _warned or not dispatch.use_pallas():
         return
     _warned.add(key)

@@ -278,7 +278,10 @@ def optimizer_update_32bit(
 # id-keyed cache of codebook tuples: the qmaps are long-lived module-level
 # arrays (optim/base.py); without this every optimizer call per param leaf
 # would pull 256 floats to the host and rebuild the static-key tuple.
+# Bounded: callers that rebuild qmap arrays per step would otherwise leak
+# one device array + tuple per optimizer call over a long training run.
 _code_tuple_cache: dict = {}
+_CODE_CACHE_MAX = 64
 
 
 def _concrete_code_tuple(q):
@@ -291,6 +294,8 @@ def _concrete_code_tuple(q):
     if ent is not None and ent[0] is qa:
         return ent[1]
     t = tuple(float(x) for x in np.asarray(qa).reshape(-1)[:256])
+    if len(_code_tuple_cache) >= _CODE_CACHE_MAX:
+        _code_tuple_cache.clear()  # tiny entries; wholesale reset is fine
     _code_tuple_cache[id(qa)] = (qa, t)
     return t
 

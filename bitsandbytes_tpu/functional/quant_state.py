@@ -144,6 +144,22 @@ class QuantState:
         absmax_canon = self.absmax
         if not self.nested and self.layout == "paired":
             absmax_canon = self.absmax.T.reshape(-1)  # canonical flat order
+            # The stats are canonicalized here, but the packed payload the
+            # caller holds separately is still in the paired byte order —
+            # serializing this dict next to the raw paired payload (e.g.
+            # handing both to the reference's from_prequantized) dequantizes
+            # to a scrambled weight.  utils.serialization converts the
+            # payload via to_layout("flat") first; direct callers must too.
+            import warnings
+
+            warnings.warn(
+                "QuantState.as_dict on a 'paired'-layout state: stats are "
+                "canonicalized to flat interop order, but the packed payload "
+                "is NOT part of this dict — convert the tensor with "
+                "to_layout('flat') before serializing payload+stats together "
+                "(utils.serialization.state_dict_from_tree does this).",
+                stacklevel=2,
+            )
         tensors = {"absmax": np.asarray(absmax_canon), "quant_map": np.asarray(self.code)}
         if self.nested:
             qs_dict.update(

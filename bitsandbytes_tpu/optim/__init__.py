@@ -14,7 +14,7 @@ from __future__ import annotations
 import functools
 
 from .base import BnbOptimizerState, make_optimizer
-from .paged import paged_state_sharding, to_host
+from .paged import make_paged_update, paged_state_sharding, to_host
 from .overrides import (
     STABLE_EMBEDDING_RULE,
     make_optimizer_with_overrides,
@@ -25,6 +25,7 @@ __all__ = [
     "make_optimizer",
     "BnbOptimizerState",
     "paged_state_sharding",
+    "make_paged_update",
     "to_host",
     "make_optimizer_with_overrides",
     "STABLE_EMBEDDING_RULE",

@@ -138,6 +138,12 @@ def make_optimizer(
     def update_fn(grads, state, params=None):
         if params is None:
             raise ValueError("bitsandbytes optimizers require params")
+        if is_paged:
+            # page in: eager compute on pinned_host operands is rejected by
+            # the CPU backend and would thrash elsewhere; no-op under jit
+            from .paged import unpin_if_eager
+
+            state = state._replace(leaves=unpin_if_eager(state.leaves))
         step = state.step + 1
         lr = learning_rate(step) if callable(learning_rate) else learning_rate
 
@@ -256,6 +262,16 @@ def make_optimizer(
         results = [leaf_update(g, p, s) for g, p, s in zip(flat_g, flat_p, flat_leaves)]
         updates = jax.tree_util.tree_unflatten(treedef, [r[0] for r in results])
         new_leaves = jax.tree_util.tree_unflatten(treedef, [r[1] for r in results])
+        if is_paged:
+            # Keep paged states STICKY on host across steps: the update's
+            # outputs land device-resident, and without this eager re-pin
+            # the second step onward would silently run with device states
+            # (defeating the point of paging).  Under jit this is a no-op —
+            # traced values carry no placement; jitted callers pin via
+            # make_paged_update / paged_state_sharding out_shardings.
+            from .paged import repin_if_eager
+
+            new_leaves = repin_if_eager(new_leaves)
         return updates, BnbOptimizerState(step=step, leaves=new_leaves)
 
     return optax.GradientTransformation(init_fn, update_fn)

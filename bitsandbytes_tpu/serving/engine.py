@@ -49,27 +49,41 @@ class _Slot:
     tokens: List[int] = dataclasses.field(default_factory=list)
 
 
-_TOPK = 64  # sampling candidate pool (static shape for top-p filtering)
+_DEFAULT_POOL = 64  # default sampling candidate pool (static shape)
 
 
-def _sample_tokens(logits, temps, top_ps, key):
+def _sample_tokens(logits, temps, top_ps, key, pool: int = _DEFAULT_POOL):
     """Per-slot temperature + nucleus (top-p) sampling; slots with
     temperature <= 0 take the argmax (greedy).
 
     ``logits`` [B, V]; ``temps``/``top_ps`` [B].  top-p runs inside a
-    static top-64 candidate pool: softmax, exclusive-cumsum nucleus mask,
-    renormalize, categorical draw — all jit-static shapes."""
+    static top-``pool`` candidate set (clamped to the vocab size), but the
+    candidate probabilities are normalized over the FULL vocabulary
+    (logsumexp), so the nucleus cutoff uses true probabilities: whenever the
+    true nucleus lies inside the pool — always the case for peaked decode
+    distributions, and always when ``pool >= vocab`` — the draw is EXACT
+    nucleus sampling.  Only when ``top_p`` exceeds the pool's total true
+    mass (flat distribution + high temperature + top_p near 1) is the
+    nucleus truncated to the pool; pass ``pool >= vocab`` (engine
+    ``sampling_pool=None``) for unconditionally exact sampling at the cost
+    of a full-vocab sort per step."""
+    V = logits.shape[-1]
+    pool = min(pool, V)
     greedy = jnp.argmax(logits, -1).astype(jnp.int32)
-    vals, idxs = jax.lax.top_k(logits.astype(jnp.float32), _TOPK)
-    scaled = vals / jnp.maximum(temps, 1e-6)[:, None]
-    probs = jax.nn.softmax(scaled, axis=-1)
+    l32 = logits.astype(jnp.float32)
+    inv_t = 1.0 / jnp.maximum(temps, 1e-6)[:, None]
+    vals, idxs = jax.lax.top_k(l32, pool)
+    scaled = vals * inv_t
+    # true (full-vocab) probabilities of the pool candidates
+    lse = jax.scipy.special.logsumexp(l32 * inv_t, axis=-1, keepdims=True)
+    probs = jnp.exp(scaled - lse)
     csum = jnp.cumsum(probs, axis=-1)
     keep = (csum - probs) < top_ps[:, None]
     # force-keep the top candidate: with top_p == 0.0 the exclusive-cumsum
     # test keeps nothing, which would turn the draw uniform over the pool
     keep = keep | (jax.lax.broadcasted_iota(jnp.int32, keep.shape, 1) == 0)
-    probs = jnp.where(keep, probs, 0.0)
-    logp = jnp.log(jnp.maximum(probs, 1e-30))
+    # categorical over the kept candidates renormalizes within the nucleus
+    logp = jnp.where(keep, scaled, -jnp.inf)
     choice = jax.random.categorical(key, logp, axis=-1)
     sampled = jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
     return jnp.where(temps > 0, sampled, greedy)
@@ -108,8 +122,13 @@ class ContinuousBatchingEngine:
         steps_per_sync: int = 8,
         mesh=None,
         seed: int = 0,
+        sampling_pool: Optional[int] = _DEFAULT_POOL,
     ):
-        """``mesh``: a `jax.sharding.Mesh` with a ``model`` axis (and
+        """``sampling_pool``: size of the static top-k candidate set for
+        temperature/top-p sampling (see :func:`_sample_tokens`); ``None``
+        means the full vocabulary (unconditionally exact nucleus sampling).
+
+        ``mesh``: a `jax.sharding.Mesh` with a ``model`` axis (and
         optionally ``data``) turns the engine multi-device: the quantized
         params are TP-sharded (packed payload + congruent absmax,
         parallel/sharding.py rules), the KV cache shards its heads over
@@ -141,6 +160,10 @@ class ContinuousBatchingEngine:
         self._pending: List[_Slot] = []
 
         cfg_ = cfg
+        self.sampling_pool = pool = min(
+            sampling_pool if sampling_pool is not None else cfg.vocab_size,
+            cfg.vocab_size,
+        )
         self.steps_per_sync = max(1, steps_per_sync)
         S = self.steps_per_sync
 
@@ -162,7 +185,8 @@ class ContinuousBatchingEngine:
                 )
                 if sampling:
                     nxt = _sample_tokens(
-                        logits[:, 0], temps, top_ps, jax.random.fold_in(key, i)
+                        logits[:, 0], temps, top_ps, jax.random.fold_in(key, i),
+                        pool=pool,
                     )
                 else:
                     nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
@@ -192,6 +216,7 @@ class ContinuousBatchingEngine:
                     jnp.asarray(temp, jnp.float32)[None],
                     jnp.asarray(top_p, jnp.float32)[None],
                     key,
+                    pool=pool,
                 )[0]
             else:
                 nxt = jnp.argmax(last, -1).astype(jnp.int32)

@@ -22,9 +22,20 @@ def main():
         grads = jax.tree_util.tree_map(
             lambda p: 0.01 * jax.random.normal(jax.random.PRNGKey(i), p.shape), params
         )
+        # eager opt.update re-pins the new states to host every step (sticky
+        # paging); jitted training loops use optim.make_paged_update(opt,
+        # state) instead, whose out_shardings pin the state output to host
+        # with the old buffers donated.
         updates, state = opt.update(grads, state, params)
         params = optax.apply_updates(params, updates)
-        print(f"step {i}: |w| = {float(jnp.abs(params['w']).mean()):.5f}")
+        kinds = {
+            getattr(x.sharding, "memory_kind", "?")
+            for x in jax.tree_util.tree_leaves(state.leaves)
+        }
+        print(
+            f"step {i}: |w| = {float(jnp.abs(params['w']).mean()):.5f} "
+            f"(state memory: {sorted(kinds)})"
+        )
 
 
 if __name__ == "__main__":

@@ -151,3 +151,44 @@ def test_int8_training_grad_with_outliers():
     scale = np.abs(gw_exact).max()
     assert np.abs(gw_np - gw_exact).max() / scale < 0.05
     assert np.isfinite(np.asarray(ga)).all()
+
+
+def test_int8_training_outlier_budget_overflow():
+    """Fixed-budget outlier residuals (VERDICT r2 item 7): when the number
+    of outlier columns exceeds the static budget, the FORWARD is unchanged
+    and the uncaptured columns degrade to int8-precision grads instead of
+    being dropped; within budget, grads equal the default-budget path."""
+    K, N, B = 256, 128, 8
+    Wf = jax.random.normal(jax.random.PRNGKey(3), (N, K), jnp.float32) * 0.1
+    A = jax.random.normal(jax.random.PRNGKey(4), (B, K), jnp.float32)
+    cols = [3, 17, 50, 77, 103, 140, 200, 230]
+    for c in cols:
+        A = A.at[:, c].mul(30.0)
+    th = 6.0
+
+    def run(budget):
+        state = bnb.MatmulLtState(
+            has_fp16_weights=True, threshold=th, outlier_budget=budget
+        )
+        f = lambda a, w: jnp.sum(bnb.matmul(a, w, state) ** 2)
+        out = bnb.matmul(A, Wf, state)
+        ga, gw = jax.grad(f, argnums=(0, 1))(A, Wf)
+        return np.asarray(out), np.asarray(ga), np.asarray(gw)
+
+    out_big, ga_big, gw_big = run(32)    # all 8 outlier cols captured
+    out_sm, ga_sm, gw_sm = run(4)        # only 4 fit: overflow
+    np.testing.assert_array_equal(out_big, out_sm)  # forward ignores budget
+    np.testing.assert_allclose(ga_big, ga_sm, rtol=1e-6)
+
+    out = bnb.matmul(A, Wf, bnb.MatmulLtState(has_fp16_weights=True, threshold=th))
+    gw_exact = np.asarray(2.0 * out.astype(jnp.float32)).T @ np.asarray(A)
+    scale = np.abs(gw_exact).max()
+    # big budget: every outlier column exact
+    np.testing.assert_allclose(
+        gw_big[:, cols], gw_exact[:, cols], rtol=1e-4, atol=1e-3 * scale
+    )
+    # overflow: uncaptured outlier columns are approximated, NOT dropped —
+    # int8 class error, and far better than the zero a dropped column gives
+    err = np.abs(gw_sm[:, cols] - gw_exact[:, cols]).max()
+    assert err / scale < 0.1, err / scale
+    assert np.abs(gw_sm[:, cols]).max() > 0.5 * np.abs(gw_exact[:, cols]).max()

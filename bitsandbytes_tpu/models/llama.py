@@ -36,8 +36,11 @@ from ..nn.modules import Int8TensorState, QuantizedTensor
 __all__ = [
     "LlamaConfig",
     "KVCache",
+    "Int8KVCache",
+    "PagedKVCache",
     "init_params",
     "init_kv_cache",
+    "init_paged_kv_cache",
     "forward",
     "prefill",
     "decode_step",
@@ -146,7 +149,11 @@ class LlamaConfig:
 
 
 class KVCache(NamedTuple):
-    """Static-shape KV cache: ``k``/``v`` are [L, B, S, KVH, hd]."""
+    """Static-shape KV cache: ``k``/``v`` are [L, B, KVH, S, hd].
+
+    The sequence dimension sits next to head_dim so the flash cached-
+    attention kernel (ops/pallas/flash_cached.py) reads ``[SB, hd]`` blocks
+    with hardware-native (sublane, lane) tiling — no per-step transposes."""
 
     k: jax.Array
     v: jax.Array
@@ -155,10 +162,12 @@ class KVCache(NamedTuple):
 class Int8KVCache(NamedTuple):
     """int8-quantized KV cache: halves KV memory/bandwidth vs bf16.
 
-    ``k``/``v`` are int8 [L, B, S, KVH, hd]; ``k_scale``/``v_scale`` are the
-    per-(slot, position, head) absmax/127 scales [L, B, S, KVH].  This is
+    ``k``/``v`` are int8 [L, B, KVH, S, hd]; ``k_scale``/``v_scale`` are the
+    per-(slot, head, position) absmax/127 scales [L, B, KVH, S].  This is
     the int8-KV serving option from BASELINE.json config #5 — a capability
-    layered above the core quantization ops (SURVEY.md §5.7)."""
+    layered above the core quantization ops (SURVEY.md §5.7).  The flash
+    kernel consumes the int8 payload directly (scales applied post-dot);
+    the cache is never dequantized wholesale."""
 
     k: jax.Array
     v: jax.Array
@@ -166,8 +175,49 @@ class Int8KVCache(NamedTuple):
     v_scale: jax.Array
 
 
+class PagedKVCache(NamedTuple):
+    """Block-table (paged) KV cache (SURVEY.md §6 "paged/blocked KV").
+
+    ``k``/``v`` are a shared physical pool [L, NB, KVH, BS, hd] (bf16 or
+    int8 with ``k_scale``/``v_scale`` [L, NB, KVH, BS]); ``tables``
+    [B, MAXB] int32 maps each slot's logical block j to a pool block, and
+    entries past a slot's live length are clamped duplicates of its last
+    live block (the attention kernel skips both their DMA and compute).
+    Memory scales with NB (committed tokens), not batch x max_len.  The
+    engine owns allocation (serving/paged.py); decode writes and attention
+    walk the table on-device (ops/pallas/flash_cached.flash_attention_paged).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: Optional[jax.Array]
+    v_scale: Optional[jax.Array]
+    tables: jax.Array
+
+
+def init_paged_kv_cache(
+    cfg: LlamaConfig,
+    batch: int,
+    max_len: int,
+    num_blocks: int,
+    block_size: int = 128,
+    kv_dtype="bf16",
+) -> PagedKVCache:
+    max_blocks = -(-max_len // block_size)
+    shape = (cfg.num_layers, num_blocks, cfg.num_kv_heads, block_size, cfg.head_dim)
+    int8 = kv_dtype in ("int8", jnp.int8)
+    dt = jnp.int8 if int8 else cfg.dtype
+    return PagedKVCache(
+        k=jnp.zeros(shape, dt),
+        v=jnp.zeros(shape, dt),
+        k_scale=jnp.zeros(shape[:-1], jnp.float32) if int8 else None,
+        v_scale=jnp.zeros(shape[:-1], jnp.float32) if int8 else None,
+        tables=jnp.zeros((batch, max_blocks), jnp.int32),
+    )
+
+
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, kv_dtype="bf16"):
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     if kv_dtype in ("int8", jnp.int8):
         return Int8KVCache(
             k=jnp.zeros(shape, jnp.int8),
@@ -181,8 +231,8 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, kv_dtype="bf16"):
 
 
 def _quantize_kv(x):
-    """Per-(batch, pos, head) symmetric int8 over the head dim.  Returns
-    (int8, scale)."""
+    """Per-(batch, head, pos) symmetric int8 over the head dim.  Takes
+    ``[B, KVH, T, hd]``; returns (int8, scale [B, KVH, T])."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = absmax / 127.0
     q = jnp.round(x.astype(jnp.float32) / jnp.maximum(scale[..., None], 1e-12))
@@ -510,48 +560,127 @@ def forward(
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
-        if cache is not None:
-            is_int8_kv = isinstance(cache, Int8KVCache)
+        if isinstance(cache, PagedKVCache):
+            if not vector_pos:
+                raise ValueError(
+                    "PagedKVCache supports per-slot decode (T == 1) only; "
+                    "prefill through a dense cache and pack the blocks "
+                    "(the serving engine does this)"
+                )
+            is_int8_kv = cache.k_scale is not None
+            k_t = jnp.swapaxes(k, 1, 2)  # [B, KVH, 1, hd]
+            v_t = jnp.swapaxes(v, 1, 2)
             if is_int8_kv:
-                k_w, k_s = _quantize_kv(k)
-                v_w, v_s = _quantize_kv(v)
+                k_w, k_s = _quantize_kv(k_t)
+                v_w, v_s = _quantize_kv(v_t)
             else:
-                k_w, v_w = k.astype(cache.k.dtype), v.astype(cache.v.dtype)
+                k_w, v_w = k_t.astype(cache.k.dtype), v_t.astype(cache.v.dtype)
+            BSz = cache.k.shape[3]
+            ar = jnp.arange(B)
+            blk = cache.tables[ar, start_pos // BSz]
+            off = start_pos % BSz
+            ck = cache.k[li].at[blk, :, off].set(k_w[:, :, 0])
+            cv = cache.v[li].at[blk, :, off].set(v_w[:, :, 0])
+            new_k.append(ck)
+            new_v.append(cv)
+            if is_int8_kv:
+                cks = cache.k_scale[li].at[blk, :, off].set(k_s[:, :, 0])
+                cvs = cache.v_scale[li].at[blk, :, off].set(v_s[:, :, 0])
+                new_ks.append(cks)
+                new_vs.append(cvs)
+            from ..ops.pallas.flash_cached import flash_attention_paged
+
+            G = H // KVH
+            qf = q.transpose(0, 2, 1, 3).reshape(B, KVH, G, hd)
+            attn_f = flash_attention_paged(
+                qf, ck, cv, cache.tables, start_pos, T=1,
+                k_scale=cks if is_int8_kv else None,
+                v_scale=cvs if is_int8_kv else None,
+                window=cfg.sliding_window,
+            )
+            attn = (
+                attn_f.reshape(B, KVH, G, 1, hd)
+                .transpose(0, 3, 1, 2, 4)
+                .reshape(B, T, H * hd)
+            )
+        elif cache is not None:
+            is_int8_kv = isinstance(cache, Int8KVCache)
+            # new K/V in cache orientation [B, KVH, T, hd]
+            k_t = jnp.swapaxes(k, 1, 2)
+            v_t = jnp.swapaxes(v, 1, 2)
+            if is_int8_kv:
+                k_w, k_s = _quantize_kv(k_t)
+                v_w, v_s = _quantize_kv(v_t)
+            else:
+                k_w, v_w = k_t.astype(cache.k.dtype), v_t.astype(cache.v.dtype)
                 k_s = v_s = None
             if vector_pos:
                 # continuous batching: each slot writes at its own position
                 ar = jnp.arange(B)
-                ck = cache.k[li].at[ar, start_pos].set(k_w[:, 0])
-                cv = cache.v[li].at[ar, start_pos].set(v_w[:, 0])
+                ck = cache.k[li].at[ar, :, start_pos].set(k_w[:, :, 0])
+                cv = cache.v[li].at[ar, :, start_pos].set(v_w[:, :, 0])
                 if is_int8_kv:
-                    cks = cache.k_scale[li].at[ar, start_pos].set(k_s[:, 0])
-                    cvs = cache.v_scale[li].at[ar, start_pos].set(v_s[:, 0])
+                    cks = cache.k_scale[li].at[ar, :, start_pos].set(k_s[:, :, 0])
+                    cvs = cache.v_scale[li].at[ar, :, start_pos].set(v_s[:, :, 0])
             else:
-                ck = jax.lax.dynamic_update_slice(cache.k[li], k_w, (0, start_pos, 0, 0))
-                cv = jax.lax.dynamic_update_slice(cache.v[li], v_w, (0, start_pos, 0, 0))
+                ck = jax.lax.dynamic_update_slice(cache.k[li], k_w, (0, 0, start_pos, 0))
+                cv = jax.lax.dynamic_update_slice(cache.v[li], v_w, (0, 0, start_pos, 0))
                 if is_int8_kv:
                     cks = jax.lax.dynamic_update_slice(
-                        cache.k_scale[li], k_s, (0, start_pos, 0)
+                        cache.k_scale[li], k_s, (0, 0, start_pos)
                     )
                     cvs = jax.lax.dynamic_update_slice(
-                        cache.v_scale[li], v_s, (0, start_pos, 0)
+                        cache.v_scale[li], v_s, (0, 0, start_pos)
                     )
             new_k.append(ck)
             new_v.append(cv)
             if is_int8_kv:
                 new_ks.append(cks)
                 new_vs.append(cvs)
-                k_full = (ck.astype(jnp.float32) * cks[..., None]).astype(q.dtype)
-                v_full = (cv.astype(jnp.float32) * cvs[..., None]).astype(q.dtype)
-            else:
-                k_full, v_full = ck.astype(q.dtype), cv.astype(q.dtype)
-            S = ck.shape[1]
+            S = ck.shape[2]
+            # newest query token's absolute position, per slot
             if vector_pos:
-                valid = jnp.arange(S)[None, :] <= start_pos[:, None]
+                lengths = start_pos
             else:
-                valid = jnp.arange(S)[None, :] < (start_pos + T)
-                valid = jnp.broadcast_to(valid, (B, S))
-            attn = _attention(q, k_full, v_full, positions, valid, cfg)
+                lengths = jnp.broadcast_to(start_pos + T - 1, (B,))
+            from ..ops import dispatch as _dispatch
+            from ..ops.pallas.flash_cached import (
+                flash_attention_cached,
+                flash_cached_supported,
+            )
+
+            if _dispatch.use_pallas() and flash_cached_supported(T, S, hd):
+                # flash route (SURVEY §5.7(a)): blockwise online-softmax over
+                # the cache; int8 KV consumed natively (scales post-dot) —
+                # no [B, H, T, S] scores, no wholesale cache dequant
+                G = H // KVH
+                qf = q.transpose(0, 2, 1, 3).reshape(B, KVH, G * T, hd)
+                attn_f = flash_attention_cached(
+                    qf, ck, cv, lengths, T=T,
+                    k_scale=cks if is_int8_kv else None,
+                    v_scale=cvs if is_int8_kv else None,
+                    window=cfg.sliding_window,
+                )
+                attn = (
+                    attn_f.reshape(B, KVH, G, T, hd)
+                    .transpose(0, 3, 1, 2, 4)
+                    .reshape(B, T, H * hd)
+                )
+            else:
+                # dense oracle path (reference semantics; CPU tier)
+                if is_int8_kv:
+                    k_full = (ck.astype(jnp.float32) * cks[..., None]).astype(q.dtype)
+                    v_full = (cv.astype(jnp.float32) * cvs[..., None]).astype(q.dtype)
+                else:
+                    k_full, v_full = ck.astype(q.dtype), cv.astype(q.dtype)
+                k_full = jnp.swapaxes(k_full, 1, 2)  # -> [B, S, KVH, hd]
+                v_full = jnp.swapaxes(v_full, 1, 2)
+                if vector_pos:
+                    valid = jnp.arange(S)[None, :] <= start_pos[:, None]
+                else:
+                    valid = jnp.arange(S)[None, :] < (start_pos + T)
+                    valid = jnp.broadcast_to(valid, (B, S))
+                attn = _attention(q, k_full, v_full, positions, valid, cfg)
         else:
             # no cache = plain causal attention from position 0 (training /
             # one-shot forward): flash-kernel route when supported
@@ -593,7 +722,14 @@ def forward(
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps, cfg.norm_plus_one)
     logits = _apply_linear(x, params["lm_head"], threshold=int8_threshold)
     if cache is not None:
-        if isinstance(cache, Int8KVCache):
+        if isinstance(cache, PagedKVCache):
+            new_cache = PagedKVCache(
+                jnp.stack(new_k), jnp.stack(new_v),
+                jnp.stack(new_ks) if new_ks else None,
+                jnp.stack(new_vs) if new_vs else None,
+                cache.tables,
+            )
+        elif isinstance(cache, Int8KVCache):
             new_cache = Int8KVCache(
                 jnp.stack(new_k), jnp.stack(new_v),
                 jnp.stack(new_ks), jnp.stack(new_vs),

@@ -1,0 +1,447 @@
+"""Flash attention over the (possibly int8-quantized) KV cache.
+
+The serving hot path (SURVEY.md §5.7(a)): decode and cached prefill read the
+KV cache `[B, KVH, S, hd]` blockwise in VMEM with the online-softmax
+recurrence — no `[B, H, T, S]` score materialization, and for the int8 cache
+NO full-cache dequantization (the r2 path dequantized the ENTIRE cache to
+bf16 in HBM every step, doubling traffic over a bf16 cache; this kernel
+reads the int8 payload once and applies the per-(position, head) scales
+post-dot in f32).
+
+Design notes:
+
+* Grid `(B, KVH, S/SB)`; GQA query heads of a KV head are folded with the
+  query positions into one `[G*T, hd]` q tile (rows r = g*T + t), so decode
+  (T=1, G=4 for Llama-3) and cached prefill (T up to hundreds) share one
+  kernel.
+* The int8 K block is cast to bf16 (exact: |values| <= 127) and the scale
+  applied to the `[GT, SB]` score tile AFTER the MXU dot — hd-times fewer
+  multiplies than dequantizing K elementwise, and f32 instead of bf16
+  rounding of the scale product (a strictly tighter error class than the
+  dense reference path's bf16 `int8*scale` weights).
+* V's scale folds into the probability tile before the PV dot for the same
+  reason.
+* Per-slot validity (`kv_pos <= q_pos`, continuous batching) and the
+  sliding window (Mistral) are masks on the score tile; blocks entirely
+  outside a slot's window skip their compute (`@pl.when`), though the
+  pipeline still streams their bytes (the paged engine avoids even that).
+* m/l/acc carries live in VMEM scratch across the S grid dimension
+  (declared "arbitrary"); the output block writes once at the last S step.
+
+The reference has no attention ops (bitsandbytes plugs into HF); this is
+the TPU-native obligation from SURVEY.md §5.7/BASELINE config #5.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "flash_cached_supported",
+    "flash_attention_cached",
+    "flash_attention_paged",
+]
+
+_NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() in ("cpu", "gpu")
+
+
+def _kernel(
+    len_ref,  # SMEM [1]: valid length boundary for this batch slot
+    q_ref,  # [1, 1, GT, hd]
+    k_ref,  # [1, 1, SB, hd] (bf16 or int8)
+    v_ref,  # [1, 1, SB, hd]
+    *rest,  # [ks_ref, vs_ref (int8 only: [1, 1, S] f32)], o_ref, 3 scratches
+    T: int,
+    SB: int,
+    window,
+    scale: float,
+    int8_kv: bool,
+):
+    if int8_kv:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
+        ks_ref = vs_ref = None
+    s = pl.program_id(2)
+    ns = pl.num_programs(2)
+    # program_id must be bound at kernel top level (the HLO interpreter
+    # can't substitute it inside a pl.when closure)
+    h = pl.program_id(1)
+    GT, hd = q_ref.shape[2], q_ref.shape[3]
+
+    @pl.when(s == 0)
+    def _init():
+        m_scr[:] = jnp.full((GT, 128), _NEG_INF, jnp.float32)
+        l_scr[:] = jnp.zeros((GT, 128), jnp.float32)
+        acc_scr[:] = jnp.zeros((GT, hd), jnp.float32)
+
+    # last valid q position for this slot (= pos of the newest token); kv
+    # positions 0..length are attendable.  The whole [B] vector sits in
+    # SMEM (rank-1 sub-array blocks are rejected by the Mosaic lowering).
+    length = len_ref[pl.program_id(0)]
+    block_lo = s * SB
+    # q positions per row: r = g*T + t -> pos = length - (T-1) + t
+    t_of_row = jax.lax.broadcasted_iota(jnp.int32, (GT, SB), 0) % T
+    q_pos = length - (T - 1) + t_of_row
+    kv_pos = block_lo + jax.lax.broadcasted_iota(jnp.int32, (GT, SB), 1)
+
+    # the whole block is dead for this slot if its first kv position is
+    # beyond the newest query (or before the oldest query's window)
+    alive = block_lo <= length
+    if window is not None:
+        alive = jnp.logical_and(alive, block_lo + SB > length - (T - 1) - window)
+
+    @pl.when(alive)
+    def _compute():
+        q = q_ref[0, 0]  # [GT, hd]
+        k = k_ref[0, 0]
+        if int8_kv:
+            k = k.astype(jnp.bfloat16)  # exact: int8 values
+        sc = jax.lax.dot_general(
+            q,
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # [GT, SB]
+        if int8_kv:
+            sc = sc * ks_ref[0, h, pl.ds(block_lo, SB)][None, :]
+        sc = sc * scale
+        mask = kv_pos <= q_pos
+        if window is not None:
+            mask = jnp.logical_and(mask, kv_pos > q_pos - window)
+        sc = jnp.where(mask, sc, _NEG_INF)
+
+        m_prev = m_scr[:, :1]  # [GT, 1]
+        m_cur = jnp.max(sc, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(sc - m_new)
+        p = jnp.where(mask, p, 0.0)
+        corr = jnp.exp(m_prev - m_new)  # [GT, 1]
+        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+
+        if int8_kv:
+            p = p * vs_ref[0, h, pl.ds(block_lo, SB)][None, :]
+        v = v_ref[0, 0]
+        if int8_kv:
+            v = v.astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # [GT, hd]
+        acc_scr[:] = acc_scr[:] * corr + pv
+        m_scr[:] = jnp.broadcast_to(m_new, (GT, 128))
+        l_scr[:] = jnp.broadcast_to(l_new, (GT, 128))
+
+    @pl.when(s == ns - 1)
+    def _finish():
+        denom = jnp.maximum(l_scr[:, :1], 1e-38)
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+def flash_cached_supported(T: int, S: int, hd: int, sb: int = 512) -> bool:
+    """Static-shape guard: hd must be a lane multiple; S a block multiple;
+    the folded q rows a sublane multiple after padding (handled by pad)."""
+    return hd % 128 == 0 and S % min(sb, S) == 0 and S >= 128
+
+
+def _pick_sb(S: int) -> int:
+    for sb in (512, 256, 128):
+        if S % sb == 0:
+            return sb
+    return S
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "window", "int8_kv", "out_dtype")
+)
+def _flash_cached_jit(q, k, v, ks, vs, lengths, *, T, window, int8_kv, out_dtype):
+    B, KVH, GT, hd = q.shape
+    S = k.shape[2]
+    SB = _pick_sb(S)
+    GT_pad = max(8, GT)
+    if GT < GT_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, GT_pad - GT), (0, 0)))
+
+    grid = (B, KVH, S // SB)
+    kernel = functools.partial(
+        _kernel,
+        T=T,
+        SB=SB,
+        window=window,
+        scale=hd**-0.5,
+        int8_kv=int8_kv,
+    )
+    in_specs = [
+        pl.BlockSpec((B,), lambda b, h, s: (0,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, GT_pad, hd), lambda b, h, s: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, SB, hd), lambda b, h, s: (b, h, s, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, SB, hd), lambda b, h, s: (b, h, s, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [lengths, q, k, v]
+    if int8_kv:
+        # whole scale plane per slot: [1, KVH, S] f32 — KVH*S*4 bytes,
+        # constant over the h/s dimensions; sliced per (head, block)
+        # in-kernel (Mosaic rejects blocked tiles whose minor-two dims are
+        # neither 8/128-multiples nor the full array dims)
+        in_specs += [
+            pl.BlockSpec((1, KVH, S), lambda b, h, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KVH, S), lambda b, h, s: (b, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [ks, vs]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, GT_pad, hd), lambda b, h, s: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((GT_pad, 128), jnp.float32),
+            pltpu.VMEM((GT_pad, 128), jnp.float32),
+            pltpu.VMEM((GT_pad, hd), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, KVH, GT_pad, hd), jnp.dtype(out_dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*args)
+    return out[:, :, :GT]
+
+
+# ---------------------------------------------------------------------------
+# Paged variant: the KV pool is a block table indirection (SURVEY §6
+# "paged/blocked KV").  Same online-softmax body; the physical block for
+# grid step (b, h, j) comes from the SCALAR-PREFETCHED block table, so the
+# BlockSpec index_map itself does the page-table walk — the TPU-native
+# PagedAttention.  Dead steps (j beyond the slot's live blocks) clamp to the
+# last live block: the pipeline sees an unchanged block index and skips the
+# DMA re-fetch, and the body skips compute.
+# ---------------------------------------------------------------------------
+
+
+def _paged_kernel(
+    tbl_ref,  # scalar-prefetch [B, MAXB] int32 block table
+    len_ref,  # scalar-prefetch [B] int32 newest-query positions
+    q_ref,  # [1, 1, GT, hd]
+    k_ref,  # [1, 1, BS, hd] — the j-th live block of (b, h)
+    v_ref,
+    *rest,
+    T: int,
+    BS: int,
+    window,
+    scale: float,
+    int8_kv: bool,
+):
+    if int8_kv:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
+        ks_ref = vs_ref = None
+    b, h, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nj = pl.num_programs(2)
+    GT, hd = q_ref.shape[2], q_ref.shape[3]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full((GT, 128), _NEG_INF, jnp.float32)
+        l_scr[:] = jnp.zeros((GT, 128), jnp.float32)
+        acc_scr[:] = jnp.zeros((GT, hd), jnp.float32)
+
+    length = len_ref[b]
+    block_lo = j * BS
+    t_of_row = jax.lax.broadcasted_iota(jnp.int32, (GT, BS), 0) % T
+    q_pos = length - (T - 1) + t_of_row
+    kv_pos = block_lo + jax.lax.broadcasted_iota(jnp.int32, (GT, BS), 1)
+
+    alive = block_lo <= length
+    if window is not None:
+        alive = jnp.logical_and(alive, block_lo + BS > length - (T - 1) - window)
+
+    @pl.when(alive)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        if int8_kv:
+            k = k.astype(jnp.bfloat16)
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        if int8_kv:
+            sc = sc * ks_ref[0, h][None, :]
+        sc = sc * scale
+        mask = kv_pos <= q_pos
+        if window is not None:
+            mask = jnp.logical_and(mask, kv_pos > q_pos - window)
+        sc = jnp.where(mask, sc, _NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(sc, axis=-1, keepdims=True))
+        p = jnp.exp(sc - m_new)
+        p = jnp.where(mask, p, 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        if int8_kv:
+            p = p * vs_ref[0, h][None, :]
+        v = v_ref[0, 0]
+        if int8_kv:
+            v = v.astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        acc_scr[:] = acc_scr[:] * corr + pv
+        m_scr[:] = jnp.broadcast_to(m_new, (GT, 128))
+        l_scr[:] = jnp.broadcast_to(l_new, (GT, 128))
+
+    @pl.when(j == nj - 1)
+    def _finish():
+        denom = jnp.maximum(l_scr[:, :1], 1e-38)
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "window", "int8_kv", "out_dtype"))
+def _flash_paged_jit(q, pool_k, pool_v, ks, vs, tables, lengths, *, T, window, int8_kv, out_dtype):
+    B, KVH, GT, hd = q.shape
+    NB, _, BS, _ = pool_k.shape
+    MAXB = tables.shape[1]
+    GT_pad = max(8, GT)
+    if GT < GT_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, GT_pad - GT), (0, 0)))
+
+    kernel = functools.partial(
+        _paged_kernel, T=T, BS=BS, window=window, scale=hd**-0.5, int8_kv=int8_kv
+    )
+
+    def kblk(b, h, j, tbl, lens):
+        # clamp dead steps to the slot's last live block: the block index
+        # doesn't change, so the pipeline skips the DMA re-fetch
+        jl = jnp.minimum(j, jnp.maximum(lens[b], 0) // BS)
+        return (tbl[b, jl], h, 0, 0)
+
+    def sblk(b, h, j, tbl, lens):
+        jl = jnp.minimum(j, jnp.maximum(lens[b], 0) // BS)
+        return (tbl[b, jl], 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, GT_pad, hd), lambda b, h, j, tbl, lens: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, BS, hd), kblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, BS, hd), kblk, memory_space=pltpu.VMEM),
+    ]
+    args = [q, pool_k, pool_v]
+    if int8_kv:
+        in_specs += [
+            pl.BlockSpec((1, KVH, BS), sblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KVH, BS), sblk, memory_space=pltpu.VMEM),
+        ]
+        args += [ks, vs]
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, KVH, MAXB),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, GT_pad, hd), lambda b, h, j, tbl, lens: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((GT_pad, 128), jnp.float32),
+                pltpu.VMEM((GT_pad, 128), jnp.float32),
+                pltpu.VMEM((GT_pad, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, GT_pad, hd), jnp.dtype(out_dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(tables.astype(jnp.int32), lengths.astype(jnp.int32), *args)
+    return out[:, :, :GT]
+
+
+def flash_attention_paged(
+    q: jax.Array,
+    pool_k: jax.Array,
+    pool_v: jax.Array,
+    tables: jax.Array,
+    lengths: jax.Array,
+    *,
+    T: int = 1,
+    k_scale=None,
+    v_scale=None,
+    window=None,
+    out_dtype=None,
+) -> jax.Array:
+    """Paged flash attention: KV lives in a shared block pool
+    ``[NB, KVH, BS, hd]`` (int8 with ``k_scale``/``v_scale``
+    ``[NB, KVH, BS]``, or bf16); ``tables [B, MAXB]`` maps each slot's
+    logical block j to its physical pool block.  ``q`` and ``lengths``
+    as in :func:`flash_attention_cached`."""
+    int8_kv = pool_k.dtype == jnp.int8
+    out_dtype = out_dtype or q.dtype
+    return _flash_paged_jit(
+        q, pool_k, pool_v, k_scale, v_scale, tables, lengths,
+        T=T, window=None if window is None else int(window),
+        int8_kv=int8_kv, out_dtype=out_dtype,
+    )
+
+
+def flash_attention_cached(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    lengths: jax.Array,
+    *,
+    T: int,
+    k_scale=None,
+    v_scale=None,
+    window=None,
+    out_dtype=None,
+) -> jax.Array:
+    """Blockwise (flash) attention of new-token queries against a KV cache.
+
+    Args:
+      q: ``[B, KVH, G*T, hd]`` — query heads folded per KV head, rows
+        ``r = g*T + t`` (g = head-in-group, t = new-token index).
+      k, v: ``[B, KVH, S, hd]`` cache — bf16, or int8 with ``k_scale`` /
+        ``v_scale`` ``[B, KVH, S]`` f32 per-(slot, head, position) scales.
+      lengths: ``[B]`` int32, position of each slot's NEWEST query token
+        (continuous batching: slots at different positions).  kv positions
+        ``<= q_pos`` attend; for cached prefill of T tokens the oldest query
+        sits at ``lengths - (T-1)``.
+      window: optional sliding-window span (Mistral).
+
+    Returns ``[B, KVH, G*T, hd]`` in ``out_dtype`` (defaults to q.dtype).
+    """
+    int8_kv = k.dtype == jnp.int8
+    out_dtype = out_dtype or q.dtype
+    return _flash_cached_jit(
+        q,
+        k,
+        v,
+        k_scale,
+        v_scale,
+        lengths.astype(jnp.int32),
+        T=T,
+        window=None if window is None else int(window),
+        int8_kv=int8_kv,
+        out_dtype=out_dtype,
+    )

@@ -213,10 +213,10 @@ def llama_param_specs(mesh: Mesh, params, model_axis: str = "model"):
 def kv_cache_specs(
     cache, data_axis: str = "data", model_axis: str = "model", mesh: Optional[Mesh] = None
 ):
-    """PartitionSpec pytree for a KV cache [L, B, S, KVH, hd]: batch over
+    """PartitionSpec pytree for a KV cache [L, B, KVH, S, hd]: batch over
     ``data_axis``, KV heads over ``model_axis`` (matching Megatron-style
     attention-head sharding).  Works for bf16 KVCache and Int8KVCache
-    (scale arrays [L, B, S, KVH] shard congruently).  Axes that don't
+    (scale arrays [L, B, KVH, S] shard congruently).  Axes that don't
     divide evenly on ``mesh`` fall back to replication."""
 
     def fit(axis, dim):
@@ -226,9 +226,9 @@ def kv_cache_specs(
 
     def spec(x):
         if x.ndim == 5:  # k/v payload
-            return P(None, fit(data_axis, x.shape[1]), None, fit(model_axis, x.shape[3]), None)
+            return P(None, fit(data_axis, x.shape[1]), fit(model_axis, x.shape[2]), None, None)
         if x.ndim == 4:  # int8 scales
-            return P(None, fit(data_axis, x.shape[1]), None, fit(model_axis, x.shape[3]))
+            return P(None, fit(data_axis, x.shape[1]), fit(model_axis, x.shape[2]), None)
         return P()
 
     return jax.tree_util.tree_map(spec, cache)

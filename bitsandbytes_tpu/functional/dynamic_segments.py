@@ -47,9 +47,14 @@ import numpy as np
 
 __all__ = [
     "SegmentTable",
+    "SymSegmentTable",
     "build_segments",
+    "build_segments_sym",
+    "build_state_tables",
     "segment_decode",
     "segment_requant",
+    "segment_decode_sym",
+    "segment_requant_sym",
     "sign_fixup",
 ]
 
@@ -65,6 +70,25 @@ class SegmentTable(NamedTuple):
     bounds: Tuple[float, ...]    # len-1 segment boundary midpoints (f32)
     zero_idx: int                # index of the entry closest to 0
     signed: bool                 # True if the map contains negative values
+    # Intercept forms (VPU-op reductions; None when the f32 verification
+    # below rejects them and the callers use the 3-tree forms instead):
+    # decode  value = idx * step + b_dec   (one tree fewer than
+    #         (idx - start) * step + first; verified bit-exact per entry)
+    # requant j = floor(x * inv + b_req)   (b_req = 0.5 - first*inv;
+    #         verified self-roundtrip per entry)
+    b_dec: Optional[Tuple[float, ...]] = None
+    b_req: Optional[Tuple[float, ...]] = None
+
+
+class SymSegmentTable(NamedTuple):
+    """Odd-symmetric codebook (``c[z-j] == -c[z+j]`` exactly, ``c[z]==0``):
+    LUT work runs on the positive HALF map (half the segments => half the
+    select-tree depth) with a mirror/sign wrapper.  The signed dynamic map
+    (functional/codebooks.create_dynamic_map) satisfies this exactly."""
+
+    half: SegmentTable   # segment table over c[z:] (half-indices j >= 0)
+    zero_idx: int        # z: index of the 0.0 entry in the full map
+    n: int               # full map size
 
 
 @functools.lru_cache(maxsize=None)
@@ -131,6 +155,24 @@ def _build_segments_cached(code_t: Tuple[float, ...]) -> Optional[SegmentTable]:
         hi = c64[s_next]
         bounds.append(float(np.float32((lo + hi) * 0.5)))
 
+    # -- intercept forms, each attached only if f32-verified -----------------
+    f32 = np.float32
+    b_dec, b_req = [], []
+    dec_ok = req_ok = True
+    for (s, cnt), first, step, inv in zip(segments, firsts, steps, inv_steps):
+        bd = f32(f32(first) - f32(s) * f32(step))  # value = idx*step + bd
+        idxs = np.arange(s, s + cnt, dtype=np.float32)
+        recon = (idxs * f32(step)).astype(np.float32) + bd
+        if not np.array_equal(recon.astype(np.float32), c[s : s + cnt]):
+            dec_ok = False
+        b_dec.append(float(bd))
+        br = f32(f32(0.5) - f32(first) * f32(inv))  # j = floor(x*inv + br)
+        t = (c[s : s + cnt] * f32(inv)).astype(np.float32) + br
+        j_back = np.clip(np.floor(t.astype(np.float32)), 0, cnt - 1).astype(int)
+        if not np.array_equal(j_back, np.arange(cnt)):
+            req_ok = False
+        b_req.append(float(br))
+
     return SegmentTable(
         starts=tuple(sts),
         counts=tuple(cnts),
@@ -140,6 +182,8 @@ def _build_segments_cached(code_t: Tuple[float, ...]) -> Optional[SegmentTable]:
         bounds=tuple(bounds),
         zero_idx=int(np.abs(c).argmin()),
         signed=bool(c[0] < 0),
+        b_dec=tuple(b_dec) if dec_ok else None,
+        b_req=tuple(b_req) if req_ok else None,
     )
 
 
@@ -183,13 +227,27 @@ def _seg_masks_from_val(x, table: SegmentTable):
 
 
 def segment_decode(idx, table: SegmentTable):
-    """int codes -> f32 values via per-segment linear reconstruction."""
+    """int codes -> f32 values via per-segment linear reconstruction.
+
+    Intercept form (``idx*step + b``, one constant tree fewer) when the
+    build-time f32 verification accepted it; 3-tree form otherwise."""
     idx = idx.astype(jnp.int32)
     masks = _seg_masks_from_idx(idx, table)
+    step = _const_tree(masks, [np.float32(s) for s in table.steps], jnp.float32)
+    if table.b_dec is not None:
+        b = _const_tree(masks, [np.float32(v) for v in table.b_dec], jnp.float32)
+        return idx.astype(jnp.float32) * step + b
     start = _const_tree(masks, [np.int32(s) for s in table.starts], jnp.int32)
     first = _const_tree(masks, [np.float32(f) for f in table.firsts], jnp.float32)
-    step = _const_tree(masks, [np.float32(s) for s in table.steps], jnp.float32)
     return (idx - start).astype(jnp.float32) * step + first
+
+
+def _start_cnt_tree(masks, table: SegmentTable):
+    """start and count-1 packed into ONE int tree (start<<9 | cnt-1; both
+    < 512 for 256-entry maps), halving the int-tree select work."""
+    packed = [np.int32((s << 9) | (c - 1)) for s, c in zip(table.starts, table.counts)]
+    w = _const_tree(masks, packed, jnp.int32)
+    return jax.lax.shift_right_logical(w, 9), w & 511
 
 
 def segment_requant(x, table: SegmentTable):
@@ -199,19 +257,88 @@ def segment_requant(x, table: SegmentTable):
     nearest slot on the segment's uniform grid (half-up in index space).
     """
     masks = _seg_masks_from_val(x, table)
-    start = _const_tree(masks, [np.int32(s) for s in table.starts], jnp.int32)
-    first = _const_tree(masks, [np.float32(f) for f in table.firsts], jnp.float32)
+    start, cnt1 = _start_cnt_tree(masks, table)
     inv = _const_tree(masks, [np.float32(v) for v in table.inv_steps], jnp.float32)
-    cnt1 = _const_tree(masks, [np.int32(c - 1) for c in table.counts], jnp.int32)
-    t = (x - first) * inv + 0.5
+    if table.b_req is not None:
+        b = _const_tree(masks, [np.float32(v) for v in table.b_req], jnp.float32)
+        t = x * inv + b
+    else:
+        first = _const_tree(masks, [np.float32(f) for f in table.firsts], jnp.float32)
+        t = (x - first) * inv + 0.5
     j = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, cnt1)
     return start + j
 
 
-def sign_fixup(idx, x, table: SegmentTable):
+# -- odd-symmetric (sym) wrappers -------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _build_segments_sym_cached(code_t: Tuple[float, ...]) -> Optional[SymSegmentTable]:
+    c = np.asarray(code_t, dtype=np.float32)
+    n = c.size
+    z = int(np.abs(c).argmin())
+    # need: exact zero entry, every negative the exact mirror of a positive
+    if z == 0 or c[z] != 0.0 or z > n - 1 - z:
+        return None
+    j = np.arange(1, z + 1)
+    if not np.array_equal(c[z - j], -c[z + j]):
+        return None
+    half = _build_segments_cached(tuple(float(x) for x in c[z:]))
+    if half is None or len(half.starts) < 2:
+        return None
+    return SymSegmentTable(half=half, zero_idx=z, n=n)
+
+
+def build_segments_sym(code) -> Optional[SymSegmentTable]:
+    arr = np.asarray(code, dtype=np.float32).reshape(-1)
+    return _build_segments_sym_cached(tuple(float(x) for x in arr))
+
+
+def segment_decode_sym(idx, t: SymSegmentTable):
+    """int codes -> f32 values through the half map: ``|idx - z|`` decodes
+    on half-depth trees, then the sign of ``idx - z`` is applied."""
+    d = idx.astype(jnp.int32) - np.int32(t.zero_idx)
+    a = jnp.abs(d)
+    v = segment_decode(a, t.half)
+    return jnp.where(d < 0, -v, v)
+
+
+def segment_requant_sym(x, t: SymSegmentTable):
+    """f32 values -> int32 codes through the half map: requantize ``|x|``
+    on half-depth trees, mirror the grid slot back for negatives.
+
+    Tie behavior differs from the full-map path only exactly AT segment
+    midpoints of negative values (half-up in magnitude instead of half-up
+    in signed index) — measure-zero; both tiers share this path so they
+    remain bit-identical to each other."""
+    neg = jnp.signbit(x)
+    jg = segment_requant(jnp.abs(x), t.half)
+    # negatives have z mirror slots (the positive half may have one more
+    # entry, e.g. the dynamic map's +1.0 at index 255) — clamp, then mirror
+    jn = jnp.minimum(jg, np.int32(t.zero_idx))
+    return np.int32(t.zero_idx) + jnp.where(neg, -jn, jg)
+
+
+def build_state_tables(code):
+    """Best available LUT structure for an optimizer-state codebook:
+    SymSegmentTable (half-depth trees) > SegmentTable > None (callers fall
+    back to trees/compare-chains)."""
+    sym = build_segments_sym(code)
+    if sym is not None:
+        return sym
+    return build_segments(code)
+
+
+def sign_fixup(idx, x, table):
     """Reference kernels.cu:1118-1133: when ``signbit(code[idx]) !=
     signbit(x)``, bump the code toward x's sign (sorted map: +1 toward
-    positive, -1 toward negative).  Only meaningful for signed maps."""
+    positive, -1 toward negative).  Only meaningful for signed maps.
+    Accepts SegmentTable or SymSegmentTable."""
+    if isinstance(table, SymSegmentTable):
+        table = SegmentTable(
+            starts=(), counts=(), firsts=(), steps=(), inv_steps=(),
+            bounds=(), zero_idx=table.zero_idx, signed=True,
+        )
     if not table.signed:
         return idx
     # signbit(code[idx]): entries below zero_idx are negative; zero (stored

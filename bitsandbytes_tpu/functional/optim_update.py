@@ -29,9 +29,13 @@ import numpy as np
 from .blockwise import _ABSMAX_EPS, dequantize_blockwise_with_code, quantize_blockwise_with_code
 from .dynamic_segments import (
     SegmentTable,
+    SymSegmentTable,
     build_segments,
+    build_state_tables,
     segment_decode,
+    segment_decode_sym,
     segment_requant,
+    segment_requant_sym,
     sign_fixup,
 )
 
@@ -56,18 +60,21 @@ BLOCKSIZE_8BIT_STATE = 256  # reference ops.cu:154-157
 # trees/compare-chains); callers fall back to gather/tree paths otherwise.
 
 
-def state_dequant_blocks(codes2d, absmax_col, table: Optional[SegmentTable], code_np):
+def state_dequant_blocks(codes2d, absmax_col, table, code_np):
     """Dequantize uint8 state codes laid out ``[NB, 256]`` with per-block
-    absmax ``[NB, 1]``.  ``code_np`` is the concrete codebook (used only on
-    the fallback path)."""
-    if table is not None:
+    absmax ``[NB, 1]``.  ``table`` is a SymSegmentTable (half-depth trees),
+    SegmentTable, or None; ``code_np`` is the concrete codebook (used only
+    on the fallback path)."""
+    if isinstance(table, SymSegmentTable):
+        vals = segment_decode_sym(codes2d.astype(jnp.int32), table)
+    elif table is not None:
         vals = segment_decode(codes2d.astype(jnp.int32), table)
     else:
         vals = jnp.take(jnp.asarray(code_np), codes2d.astype(jnp.int32))
     return vals * absmax_col
 
 
-def state_requant_blocks(x2d, table: Optional[SegmentTable], code_np, fixup: bool):
+def state_requant_blocks(x2d, table, code_np, fixup: bool):
     """Requantize fp32 state values ``[NB, 256]``.  Returns (uint8 codes,
     raw absmax ``[NB, 1]``).
 
@@ -79,7 +86,11 @@ def state_requant_blocks(x2d, table: Optional[SegmentTable], code_np, fixup: boo
     am = jnp.max(jnp.abs(x2d), axis=-1, keepdims=True)
     scale = 1.0 / jnp.clip(am, _ABSMAX_EPS, None)
     scaled = jnp.clip(x2d * scale, -1.0, 1.0)
-    if table is not None:
+    if isinstance(table, SymSegmentTable):
+        q = segment_requant_sym(scaled, table)
+        if fixup:
+            q = sign_fixup(q, scaled, table)
+    elif table is not None:
         q = segment_requant(scaled, table)
         if fixup:
             q = sign_fixup(q, scaled, table)
@@ -409,8 +420,8 @@ def _optimizer_update_8bit_seg(
     n = p.size
     pad = (-n) % bs
     NB = (n + pad) // bs
-    table1 = build_segments(code1_t)
-    table2 = build_segments(code2_t) if code2_t is not None else None
+    table1 = build_state_tables(code1_t)
+    table2 = build_state_tables(code2_t) if code2_t is not None else None
     zero1 = int(np.abs(np.asarray(code1_t)).argmin())
     zero2 = int(np.abs(np.asarray(code2_t)).argmin()) if code2_t is not None else 0
 

@@ -65,10 +65,10 @@ def _dequant_state(codes_i32, am, code: np.ndarray):
     linear (the dynamic maps; ~8x fewer VPU ops), else the select tree.
     Shares functional.optim_update.state_dequant_blocks so the Pallas tier
     is bit-identical to the jnp oracle."""
-    from ...functional.dynamic_segments import build_segments
+    from ...functional.dynamic_segments import build_state_tables
     from ...functional.optim_update import state_dequant_blocks
 
-    table = build_segments(code)
+    table = build_state_tables(code)
     if table is not None:
         return state_dequant_blocks(codes_i32, am, table, None)
     return _decode_tree256(codes_i32, code) * am
@@ -78,10 +78,10 @@ def _requant_state(x, code: np.ndarray, midpoints: np.ndarray, fixup: bool):
     """State requant on a [TB, 256] tile.  Returns (uint8 codes, raw absmax
     [TB, 1]).  Segment arithmetic + sign fixup when piecewise-linear (shared
     with the oracle); compare-rank chain otherwise."""
-    from ...functional.dynamic_segments import build_segments
+    from ...functional.dynamic_segments import build_state_tables
     from ...functional.optim_update import state_requant_blocks
 
-    table = build_segments(code)
+    table = build_state_tables(code)
     if table is not None:
         return state_requant_blocks(x, table, None, fixup)
     am = jnp.max(jnp.abs(x), axis=1, keepdims=True)

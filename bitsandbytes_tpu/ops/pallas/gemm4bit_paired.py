@@ -39,6 +39,7 @@ MXU operand: backends/default/ops.py:269-283).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -170,6 +171,56 @@ def _to_bf16_rows(w32):
 
 
 # ---------------------------------------------------------------------------
+# 2x-packed int16 decode (v3): interleave both nibble indices into an int16
+# array [2S, L] (4 int32 ops/byte + a free bitcast), then ONE 4-level
+# bit-keyed 16:1 multiplexer — 4 shared bit conditions + 15 selects, all
+# int16 so Mosaic packs two elements per 32-bit lane.  ~13.5 lane-ops per
+# element vs ~19 for the two pair-word trees (probe:
+# experiments/probe_decode16.py).  BNB_DECODE16=0 restores the pair-word
+# path (e.g. if packed int16 selects regress or Mosaic rejects them).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _patterns16(code_t: tuple):
+    """int16 (two's complement) bf16 bit patterns of the 16 entries."""
+    pats = np.asarray(code_t, np.float32).astype(ml_dtypes.bfloat16).view(np.uint16)
+    return tuple(int(x) - (1 << 16) if x >= (1 << 15) else int(x) for x in pats)
+
+
+def _mux16(ni, code_t: tuple):
+    """4-level bit-keyed mux over the 16 int16 patterns; ni int16 [2S, L]."""
+    pat = _patterns16(code_t)
+    c0 = (ni & jnp.int16(1)) != 0
+    c1 = (ni & jnp.int16(2)) != 0
+    c2 = (ni & jnp.int16(4)) != 0
+    c3 = (ni & jnp.int16(8)) != 0
+    lvl = [
+        jnp.where(c0, jnp.int16(pat[2 * v + 1]), jnp.int16(pat[2 * v]))
+        for v in range(8)
+    ]
+    lvl = [jnp.where(c1, lvl[2 * v + 1], lvl[2 * v]) for v in range(4)]
+    lvl = [jnp.where(c2, lvl[2 * v + 1], lvl[2 * v]) for v in range(2)]
+    return jnp.where(c3, lvl[1], lvl[0])
+
+
+def _decode_units(p, code_t: tuple):
+    """Packed bytes ``p`` int32 [S, L] -> bf16 unit rows [2S, L] (row 2i
+    from the high nibble, 2i+1 from the low — the N-paired row order)."""
+    if os.environ.get("BNB_DECODE16", "1") != "1":
+        return _to_bf16_rows(_decode_pair_word(p, code_t))
+    # ni[2i] = high nibble, ni[2i+1] = low nibble (low int32 half -> row 2i)
+    ni32 = ((p & 15) << 16) | jax.lax.shift_right_logical(p, 4)
+    if _interpret():
+        both = jax.lax.bitcast_convert_type(ni32, jnp.int16)  # [S, L, 2]
+        ni = jnp.swapaxes(both, 1, 2).reshape(2 * p.shape[0], p.shape[1])
+        pat = _mux16(ni, code_t)
+        return jax.lax.bitcast_convert_type(pat, jnp.bfloat16)
+    ni = pltpu.bitcast(ni32, jnp.int16)  # [2S, L]
+    return pltpu.bitcast(_mux16(ni, code_t), jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
 # forward kernel: out[M, N] = A[M, K] @ dequant(B)[N, K]^T
 # ---------------------------------------------------------------------------
 
@@ -189,8 +240,7 @@ def _dot_f32acc(a, b, dims):
 def _paired_kernel(a_ref, bp_ref, scale_ref, out_ref, *, code_t, blocksize, scale_mode):
     k = pl.program_id(2)
     p = bp_ref[:].astype(jnp.int32)  # [TN/2, TK] packed bytes
-    w32 = _decode_pair_word(p, code_t)
-    units = _to_bf16_rows(w32)  # [TN, TK] bf16 unit code values
+    units = _decode_units(p, code_t)  # [TN, TK] bf16 unit code values
     TK = p.shape[1]
     nb = TK // blocksize
     dims = (((1,), (1,)), ((), ()))
@@ -388,7 +438,7 @@ def gemm_4bit_paired(
 def _paired_nt_kernel(g_ref, bp_ref, scale_ref, out_ref, *, code_t, blocksize):
     n = pl.program_id(2)
     p = bp_ref[:].astype(jnp.int32)
-    units = _to_bf16_rows(_decode_pair_word(p, code_t))  # [TN, TK]
+    units = _decode_units(p, code_t)  # [TN, TK]
     TK = p.shape[1]
     nb = TK // blocksize
     g = g_ref[:]
@@ -475,7 +525,7 @@ def gemm_4bit_paired_nt(
 
 def _paired_dequant_kernel(bp_ref, scale_ref, out_ref, *, code_t, blocksize):
     p = bp_ref[:].astype(jnp.int32)
-    units = _to_bf16_rows(_decode_pair_word(p, code_t))  # [TN, TK]
+    units = _decode_units(p, code_t)  # [TN, TK]
     TK = p.shape[1]
     nb = TK // blocksize
     rows = jax.lax.broadcasted_iota(jnp.int32, (nb, TK), 0)

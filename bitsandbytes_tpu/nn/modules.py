@@ -316,15 +316,36 @@ def _partial_dequant_rows(qweight: QuantizedTensor, ids: jax.Array) -> jax.Array
     return out.reshape(*ids.shape, D)
 
 
+def _apply_lookup_opts(out, ids, padding_idx, max_norm, norm_type):
+    """Lookup-side ``padding_idx`` / ``max_norm`` semantics shared by the
+    embedding modules (reference nn/modules.py:58-62 constructor surface).
+
+    torch's ``max_norm`` renormalizes the *stored* row in place whenever it
+    is looked up; under JAX's functional parameters the renorm is applied to
+    the gathered rows instead — forward values match torch's post-renorm
+    lookup, while the table itself stays unmutated."""
+    if padding_idx is not None:
+        pad = (ids.reshape(-1) == padding_idx)[:, None]
+        out = jnp.where(pad, 0.0, out)
+    if max_norm is not None:
+        norms = jnp.linalg.norm(out.astype(jnp.float32), ord=norm_type, axis=-1, keepdims=True)
+        out = out * jnp.minimum(1.0, max_norm / jnp.maximum(norms, 1e-30)).astype(out.dtype)
+    return out
+
+
 class Embedding4bit(nn.Module):
     """Embedding with a 4-bit quantized table and partial-dequantize lookup
-    (reference nn/modules.py:833-1015)."""
+    (reference nn/modules.py:833-1015).  ``padding_idx``/``max_norm`` follow
+    the torch ``nn.Embedding`` surface the reference class inherits."""
 
     num_embeddings: int
     features: int
     quant_type: str = "nf4"
     blocksize: int = 64
     dtype: Any = jnp.float32
+    padding_idx: Optional[int] = None
+    max_norm: Optional[float] = None
+    norm_type: float = 2.0
     embedding_init: Callable = nn.initializers.normal(stddev=1.0)
 
     @nn.compact
@@ -346,7 +367,11 @@ class Embedding4bit(nn.Module):
         # quantized tables are frozen (reference Embedding4bit has no weight
         # grads); without this, absmax would accumulate nonzero cotangents
         qtable = jax.lax.stop_gradient(qtable)
-        return _partial_dequant_rows(qtable, ids).astype(self.dtype)
+        out = _partial_dequant_rows(qtable, ids).astype(self.dtype)
+        flat = _apply_lookup_opts(
+            out.reshape(-1, self.features), ids, self.padding_idx, self.max_norm, self.norm_type
+        )
+        return flat.reshape(out.shape)
 
 
 class EmbeddingNF4(Embedding4bit):
@@ -364,6 +389,9 @@ class Embedding8bit(nn.Module):
     num_embeddings: int
     features: int
     dtype: Any = jnp.float32
+    padding_idx: Optional[int] = None
+    max_norm: Optional[float] = None
+    norm_type: float = 2.0
     embedding_init: Callable = nn.initializers.normal(stddev=1.0)
 
     @nn.compact
@@ -377,6 +405,7 @@ class Embedding8bit(nn.Module):
         rows = jnp.take(qtable.CB, ids.reshape(-1), axis=0).astype(jnp.float32)
         stats = jnp.take(qtable.SCB, ids.reshape(-1), axis=0)
         out = rows * (stats[:, None] / 127.0)
+        out = _apply_lookup_opts(out, ids, self.padding_idx, self.max_norm, self.norm_type)
         return out.reshape(*ids.shape, self.features).astype(self.dtype)
 
 
@@ -393,6 +422,8 @@ class Embedding(nn.Module):
     num_embeddings: int
     features: int
     padding_idx: Optional[int] = None
+    max_norm: Optional[float] = None
+    norm_type: float = 2.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -404,9 +435,7 @@ class Embedding(nn.Module):
             jnp.float32,
         )
         out = jnp.take(table, ids.reshape(-1), axis=0)
-        if self.padding_idx is not None:
-            pad = (ids.reshape(-1) == self.padding_idx)[:, None]
-            out = jnp.where(pad, 0.0, out)
+        out = _apply_lookup_opts(out, ids, self.padding_idx, self.max_norm, self.norm_type)
         return out.reshape(*ids.shape, self.features).astype(self.dtype)
 
 
@@ -418,6 +447,9 @@ class StableEmbedding(nn.Module):
 
     num_embeddings: int
     features: int
+    padding_idx: Optional[int] = None
+    max_norm: Optional[float] = None
+    norm_type: float = 2.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -429,6 +461,7 @@ class StableEmbedding(nn.Module):
             jnp.float32,
         )
         out = jnp.take(table, ids.reshape(-1), axis=0)
+        out = _apply_lookup_opts(out, ids, self.padding_idx, self.max_norm, self.norm_type)
         out = nn.LayerNorm(dtype=jnp.float32)(out)
         return out.reshape(*ids.shape, self.features).astype(self.dtype)
 

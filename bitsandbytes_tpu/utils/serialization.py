@@ -35,6 +35,8 @@ __all__ = [
     "params_from_state_dict",
     "save_checkpoint",
     "load_checkpoint",
+    "save_checkpoint_safetensors",
+    "load_checkpoint_safetensors",
     "import_hf_llama",
 ]
 
@@ -186,6 +188,31 @@ def load_checkpoint(path: str, template: Optional[Any] = None) -> Any:
     with np.load(path, allow_pickle=False) as z:
         sd = {k: z[k] for k in z.files}
     return params_from_state_dict(sd, template)
+
+
+def save_checkpoint_safetensors(path: str, params: Any, metadata: Optional[dict] = None) -> None:
+    """Write a param tree to a ``.safetensors`` file.
+
+    The flat tensor names follow the reference's serialized-quant-state
+    conventions (see module docstring), so the file is loadable by the
+    reference stack: ``safetensors.torch.load_file`` on it yields exactly
+    the dict `Params4bit.from_prequantized` consumes (reference
+    nn/modules.py:355-379; HF-Transformers quantized checkpoints ship as
+    safetensors in this layout)."""
+    from safetensors.numpy import save_file
+
+    sd = {k: np.ascontiguousarray(v) for k, v in state_dict_from_params(params).items()}
+    save_file(sd, path, metadata=metadata)
+
+
+def load_checkpoint_safetensors(path: str, template: Optional[Any] = None) -> Any:
+    """Load a ``.safetensors`` checkpoint written by
+    :func:`save_checkpoint_safetensors` (or by the reference/HF stack in the
+    same flat layout).  With ``template``, rebuilds the full param tree;
+    without, returns the folded flat dict."""
+    from safetensors.numpy import load_file
+
+    return params_from_state_dict(load_file(path), template)
 
 
 # ---------------------------------------------------------------------------

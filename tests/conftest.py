@@ -21,6 +21,17 @@ if os.environ.get("BNB_TEST_DEVICE", "cpu") == "cpu":
     # jax 0.9 + the axon PJRT plugin ignores --xla_force_host_platform_
     # device_count; the config knob is what actually works.
     jax.config.update("jax_num_cpu_devices", 8)
+    # Persistent compile cache (CPU runs only — the remote-TPU axon backend
+    # compiles through the tunnel and must not be disk-cached): this rig has
+    # ONE core and the suite is compile-dominated, so warm re-runs drop from
+    # ~10+ min to a few minutes.  Wiped automatically when jaxlib changes
+    # (the cache key covers the compiler version).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import jax as _jax
 

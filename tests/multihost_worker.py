@@ -17,6 +17,15 @@ import jax
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 4)
+# share the suite's persistent compile cache (see tests/conftest.py) —
+# this worker's distributed-GSPMD programs are the single slowest compile
+# in the suite, and they are identical run-over-run
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).resolve().parent / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.distributed.initialize(
     coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
 )

@@ -10,6 +10,7 @@ backends/cuda/ops.py:891-903).
 from __future__ import annotations
 
 import logging
+import os
 from typing import Optional
 
 import jax
@@ -29,6 +30,19 @@ _warned: set = set()
 # kernel (measured on v5e: fused caps at ~78 TFLOPs from decode/scale work;
 # dequant+dot reaches 92-173 TFLOPs for M in 512..4096).
 LARGE_M_THRESHOLD = 512
+
+# Per-weight-shape crossovers from the on-device mid-M sweep
+# (experiments/sweep_midm.py; VERDICT r2 item 9): below the value the fused
+# kernel wins, at/above the dequant+MXU route does.  Unlisted shapes use
+# LARGE_M_THRESHOLD.  BNB_LARGE_M overrides everything (sweep/debug knob).
+_MIDM_CROSSOVER: dict = {}
+
+
+def _large_m_crossover(N: int, K: int) -> int:
+    env = os.environ.get("BNB_LARGE_M")
+    if env:
+        return int(env)
+    return _MIDM_CROSSOVER.get((N, K), LARGE_M_THRESHOLD)
 
 
 def _warn_fallback(tag: str, M: int, N: int, K: int, blocksize: int) -> None:
@@ -99,7 +113,7 @@ def gemm_4bit(
         # bf16 weight with the one-pass dequant kernel and run a full-depth
         # MXU dot instead.  Crossover measured at M ~ 512 on v5e.
         if (
-            M >= LARGE_M_THRESHOLD
+            M >= _large_m_crossover(N, K)
             and A.dtype == jnp.bfloat16
             and paired_dequant_supported(N, K, quant_state.blocksize)
         ):
@@ -200,7 +214,7 @@ def gemm_4bit_grad_A(
 
         # large-M training backward: materialize bf16 W once, full-depth dot
         if (
-            M >= LARGE_M_THRESHOLD
+            M >= _large_m_crossover(N, K)
             and g.dtype == jnp.bfloat16
             and paired_dequant_supported(N, K, quant_state.blocksize)
         ):

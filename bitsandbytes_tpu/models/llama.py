@@ -499,13 +499,16 @@ def forward(
     start_pos: int | jax.Array = 0,
     lora: Optional[dict] = None,
     int8_threshold: float = 0.0,
+    return_hidden: bool = False,
 ):
     """Run the transformer over ``ids`` [B, T].
 
     Without a cache this is a plain causal forward (training / one-shot
     prefill).  With a cache, K/V for these positions are written at
     ``start_pos`` and attention runs against the whole cache (serving).
-    Returns ``(logits [B, T, V], new_cache)``.
+    Returns ``(logits [B, T, V], new_cache)`` — or the final-norm hidden
+    states ``[B, T, D]`` instead of logits when ``return_hidden`` (the
+    chunked-loss path applies the lm_head itself, per token chunk).
     """
     B, T = ids.shape
     H, KVH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -720,7 +723,10 @@ def forward(
         )
 
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps, cfg.norm_plus_one)
-    logits = _apply_linear(x, params["lm_head"], threshold=int8_threshold)
+    if return_hidden:
+        logits = x  # caller applies the lm_head (chunked loss)
+    else:
+        logits = _apply_linear(x, params["lm_head"], threshold=int8_threshold)
     if cache is not None:
         if isinstance(cache, PagedKVCache):
             new_cache = PagedKVCache(
@@ -736,8 +742,8 @@ def forward(
             )
         else:
             new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v))
-        return logits.astype(jnp.float32), new_cache
-    return logits.astype(jnp.float32), None
+        return (logits if return_hidden else logits.astype(jnp.float32)), new_cache
+    return (logits if return_hidden else logits.astype(jnp.float32)), None
 
 
 def prefill(params, ids, cfg, cache, lora=None):
@@ -798,19 +804,62 @@ def add_lora(
     return {"layers": [layer(keys[i]) for i in range(cfg.num_layers)]}
 
 
-def lm_loss(params, lora, ids, cfg):
-    """Next-token cross-entropy over ids [B, T+1]."""
-    logits, _ = forward(params, ids[:, :-1], cfg, lora=lora)
-    targets = ids[:, 1:]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return nll.mean()
+def lm_loss(params, lora, ids, cfg, token_chunk: Optional[int] = None):
+    """Next-token cross-entropy over ids [B, T+1].
+
+    ``token_chunk``: compute the lm_head + softmax in chunks of that many
+    tokens instead of materializing the full ``[B, T, V]`` logits (at
+    Llama-3's 128k vocab, bs=4 x T=2048 logits alone are 4 GB f32 — more
+    HBM than the whole 4-bit model).  The backward recomputes each chunk's
+    logits (`jax.checkpoint`), trading one extra lm_head matmul for the
+    logits' storage — the standard TPU memory/FLOPs trade for long-context
+    training.  Loss is identical to the dense path up to f32 summation
+    order."""
+    if token_chunk is None:
+        logits, _ = forward(params, ids[:, :-1], cfg, lora=lora)
+        targets = ids[:, 1:]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return nll.mean()
+
+    h, _ = forward(params, ids[:, :-1], cfg, lora=lora, return_hidden=True)
+    D = h.shape[-1]
+    h = h.reshape(-1, D)
+    targets = ids[:, 1:].reshape(-1)
+    N = h.shape[0]
+    pad = (-N) % token_chunk
+    if pad:
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        targets = jnp.concatenate(
+            [targets, jnp.full((pad,), -1, targets.dtype)]
+        )
+    nchunks = (N + pad) // token_chunk
+    h_c = h.reshape(nchunks, token_chunk, D)
+    t_c = targets.reshape(nchunks, token_chunk)
+    lm_head = params["lm_head"]
+
+    @jax.checkpoint
+    def body(total, xt):
+        hc, tc = xt
+        logits = _apply_linear(hc, lm_head).astype(jnp.float32)  # [C, V]
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tl = jnp.take_along_axis(
+            logits, jnp.maximum(tc, 0)[:, None], axis=-1
+        )[:, 0]
+        nll = jnp.where(tc >= 0, lse - tl, 0.0)
+        return total + nll.sum(), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), (h_c, t_c))
+    return total / N
 
 
-def lora_train_step(params, lora, opt_state, ids, cfg, optimizer):
+def lora_train_step(params, lora, opt_state, ids, cfg, optimizer, token_chunk=None):
     """One QLoRA step: grads flow only into the adapters; the 4-bit base is
-    frozen (matching reference MatMul4Bit semantics)."""
-    loss, grads = jax.value_and_grad(lambda lo: lm_loss(params, lo, ids, cfg))(lora)
+    frozen (matching reference MatMul4Bit semantics).  ``token_chunk``
+    chunks the lm_head/softmax (see :func:`lm_loss`) for long contexts."""
+    loss, grads = jax.value_and_grad(
+        lambda lo: lm_loss(params, lo, ids, cfg, token_chunk=token_chunk)
+    )(lora)
     updates, opt_state = optimizer.update(grads, opt_state, lora)
     import optax
 

@@ -253,3 +253,27 @@ def test_flash_attention_path_matches_dense():
     assert rel < 2e-2, rel
     g = jax.grad(lambda p: L.forward(p, ids, cfg)[0].astype(jnp.float32).sum())(params)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
+
+
+def test_chunked_lm_loss_matches_dense():
+    """token_chunk lm_loss == dense lm_loss (value and grads) while never
+    materializing [B*T, V] logits; pad tail (N % chunk != 0) is masked."""
+    cfg = L.LlamaConfig.tiny()
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = L.quantize_params_4bit(params)
+    lora = L.add_lora(jax.random.PRNGKey(1), cfg, rank=4)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 11), 0, cfg.vocab_size)
+
+    dense = L.lm_loss(qparams, lora, ids, cfg)
+    for chunk in (4, 7, 32):  # 20 tokens: even split, ragged, single chunk
+        chunked = L.lm_loss(qparams, lora, ids, cfg, token_chunk=chunk)
+        np.testing.assert_allclose(float(chunked), float(dense), rtol=2e-6)
+
+    g_dense = jax.grad(lambda lo: L.lm_loss(qparams, lo, ids, cfg))(lora)
+    g_chunk = jax.grad(
+        lambda lo: L.lm_loss(qparams, lo, ids, cfg, token_chunk=7)
+    )(lora)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_dense), jax.tree_util.tree_leaves(g_chunk)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)

@@ -166,6 +166,15 @@ def _build_segments_cached(code_t: Tuple[float, ...]) -> Optional[SegmentTable]:
         if not np.array_equal(recon.astype(np.float32), c[s : s + cnt]):
             dec_ok = False
         b_dec.append(float(bd))
+        # NOTE: x*inv + br is not bit-equivalent to (x-first)*inv + 0.5 for
+        # arbitrary x — the different f32 rounding order flips the code for
+        # x within ~1 ulp of a slot midpoint (measured ~1.3 ppm of uniform
+        # draws over the dynamic maps).  Both tiers (oracle + Pallas kernel)
+        # share this function, so kernel/oracle bit-exactness is unaffected;
+        # vs the reference's torch.bucketize the flips land inside the
+        # existing tie budget (test_reference_parity: <0.05%, measured
+        # ~0.005% before this form).  The entry-roundtrip check below only
+        # guards exact codebook values.
         br = f32(f32(0.5) - f32(first) * f32(inv))  # j = floor(x*inv + br)
         t = (c[s : s + cnt] * f32(inv)).astype(np.float32) + br
         j_back = np.clip(np.floor(t.astype(np.float32)), 0, cnt - 1).astype(int)

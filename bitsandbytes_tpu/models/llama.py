@@ -591,21 +591,46 @@ def forward(
                 cvs = cache.v_scale[li].at[blk, :, off].set(v_s[:, :, 0])
                 new_ks.append(cks)
                 new_vs.append(cvs)
-            from ..ops.pallas.flash_cached import flash_attention_paged
+            from ..ops import dispatch as _dispatch
+            from ..ops.pallas.flash_cached import (
+                flash_attention_paged,
+                flash_paged_supported,
+            )
 
             G = H // KVH
-            qf = q.transpose(0, 2, 1, 3).reshape(B, KVH, G, hd)
-            attn_f = flash_attention_paged(
-                qf, ck, cv, cache.tables, start_pos, T=1,
-                k_scale=cks if is_int8_kv else None,
-                v_scale=cvs if is_int8_kv else None,
-                window=cfg.sliding_window,
-            )
-            attn = (
-                attn_f.reshape(B, KVH, G, 1, hd)
-                .transpose(0, 3, 1, 2, 4)
-                .reshape(B, T, H * hd)
-            )
+            if _dispatch.use_pallas() and flash_paged_supported(BSz, hd, G):
+                qf = q.transpose(0, 2, 1, 3).reshape(B, KVH, G, hd)
+                attn_f = flash_attention_paged(
+                    qf, ck, cv, cache.tables, start_pos, T=1,
+                    k_scale=cks if is_int8_kv else None,
+                    v_scale=cvs if is_int8_kv else None,
+                    window=cfg.sliding_window,
+                )
+                attn = (
+                    attn_f.reshape(B, KVH, G, 1, hd)
+                    .transpose(0, 3, 1, 2, 4)
+                    .reshape(B, T, H * hd)
+                )
+            else:
+                # dense oracle fallback (reference-tier dispatch, or shapes
+                # the paged kernel can't tile, e.g. hd % 128 != 0): gather
+                # each slot's logical cache out of the block pool
+                def gather(pool):
+                    g = jnp.take(pool, cache.tables, axis=0)  # [B, MAXB, KVH, BS, ...]
+                    g = jnp.swapaxes(g, 1, 2)  # [B, KVH, MAXB, BS, ...]
+                    return g.reshape(B, KVH, -1, *pool.shape[3:])
+
+                kf, vf = gather(ck), gather(cv)
+                if is_int8_kv:
+                    kf = (kf.astype(jnp.float32) * gather(cks)[..., None]).astype(q.dtype)
+                    vf = (vf.astype(jnp.float32) * gather(cvs)[..., None]).astype(q.dtype)
+                else:
+                    kf, vf = kf.astype(q.dtype), vf.astype(q.dtype)
+                S_log = kf.shape[2]
+                kf = jnp.swapaxes(kf, 1, 2)  # -> [B, S, KVH, hd]
+                vf = jnp.swapaxes(vf, 1, 2)
+                valid = jnp.arange(S_log)[None, :] <= start_pos[:, None]
+                attn = _attention(q, kf, vf, positions, valid, cfg)
         elif cache is not None:
             is_int8_kv = isinstance(cache, Int8KVCache)
             # new K/V in cache orientation [B, KVH, T, hd]
@@ -648,25 +673,38 @@ def forward(
                 lengths = jnp.broadcast_to(start_pos + T - 1, (B,))
             from ..ops import dispatch as _dispatch
             from ..ops.pallas.flash_cached import (
+                GT_MAX,
                 flash_attention_cached,
                 flash_cached_supported,
             )
 
-            if _dispatch.use_pallas() and flash_cached_supported(T, S, hd):
+            G = H // KVH
+            Tc_max = max(1, GT_MAX // G)
+            if _dispatch.use_pallas() and flash_cached_supported(
+                min(T, Tc_max), S, hd, G
+            ):
                 # flash route (SURVEY §5.7(a)): blockwise online-softmax over
                 # the cache; int8 KV consumed natively (scales post-dot) —
-                # no [B, H, T, S] scores, no wholesale cache dequant
-                G = H // KVH
-                qf = q.transpose(0, 2, 1, 3).reshape(B, KVH, G * T, hd)
-                attn_f = flash_attention_cached(
-                    qf, ck, cv, lengths, T=T,
-                    k_scale=cks if is_int8_kv else None,
-                    v_scale=cvs if is_int8_kv else None,
-                    window=cfg.sliding_window,
+                # no [B, H, T, S] scores, no wholesale cache dequant.  Long
+                # cached prefills are chunked over T so the folded q rows
+                # stay within the kernel's VMEM scratch budget (GT_MAX).
+                chunks = []
+                for off in range(0, T, Tc_max):
+                    Tc = min(Tc_max, T - off)
+                    q_c = q[:, off : off + Tc]
+                    qf = q_c.transpose(0, 2, 1, 3).reshape(B, KVH, G * Tc, hd)
+                    attn_f = flash_attention_cached(
+                        qf, ck, cv, lengths - (T - 1) + (off + Tc - 1), T=Tc,
+                        k_scale=cks if is_int8_kv else None,
+                        v_scale=cvs if is_int8_kv else None,
+                        window=cfg.sliding_window,
+                    )
+                    chunks.append(attn_f.reshape(B, KVH, G, Tc, hd))
+                attn_f = (
+                    jnp.concatenate(chunks, axis=3) if len(chunks) > 1 else chunks[0]
                 )
                 attn = (
-                    attn_f.reshape(B, KVH, G, T, hd)
-                    .transpose(0, 3, 1, 2, 4)
+                    attn_f.transpose(0, 3, 1, 2, 4)
                     .reshape(B, T, H * hd)
                 )
             else:

@@ -43,7 +43,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
+    "GT_MAX",
     "flash_cached_supported",
+    "flash_paged_supported",
     "flash_attention_cached",
     "flash_attention_paged",
 ]
@@ -55,42 +57,40 @@ def _interpret() -> bool:
     return jax.default_backend() in ("cpu", "gpu")
 
 
-def _kernel(
-    len_ref,  # SMEM [1]: valid length boundary for this batch slot
-    q_ref,  # [1, 1, GT, hd]
-    k_ref,  # [1, 1, SB, hd] (bf16 or int8)
-    v_ref,  # [1, 1, SB, hd]
-    *rest,  # [ks_ref, vs_ref (int8 only: [1, 1, S] f32)], o_ref, 3 scratches
+def _flash_step(
+    step_idx,
+    n_steps,
+    block_lo,
+    length,
+    q_ref,
+    k_ref,
+    v_ref,
+    ks_row,  # int8 only: f32 [SB] per-position K scales for this block
+    vs_row,
+    o_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
     T: int,
     SB: int,
     window,
     scale: float,
     int8_kv: bool,
 ):
-    if int8_kv:
-        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
-    else:
-        o_ref, m_scr, l_scr, acc_scr = rest
-        ks_ref = vs_ref = None
-    s = pl.program_id(2)
-    ns = pl.num_programs(2)
-    # program_id must be bound at kernel top level (the HLO interpreter
-    # can't substitute it inside a pl.when closure)
-    h = pl.program_id(1)
+    """One grid step of the online-softmax recurrence, shared by the dense
+    cached kernel and the paged kernel (they differ only in how the K/V
+    block and its scales are addressed)."""
     GT, hd = q_ref.shape[2], q_ref.shape[3]
 
-    @pl.when(s == 0)
+    @pl.when(step_idx == 0)
     def _init():
         m_scr[:] = jnp.full((GT, 128), _NEG_INF, jnp.float32)
         l_scr[:] = jnp.zeros((GT, 128), jnp.float32)
         acc_scr[:] = jnp.zeros((GT, hd), jnp.float32)
 
-    # last valid q position for this slot (= pos of the newest token); kv
-    # positions 0..length are attendable.  The whole [B] vector sits in
-    # SMEM (rank-1 sub-array blocks are rejected by the Mosaic lowering).
-    length = len_ref[pl.program_id(0)]
-    block_lo = s * SB
-    # q positions per row: r = g*T + t -> pos = length - (T-1) + t
+    # q positions per row: r = g*T + t -> pos = length - (T-1) + t; kv
+    # positions 0..length are attendable
     t_of_row = jax.lax.broadcasted_iota(jnp.int32, (GT, SB), 0) % T
     q_pos = length - (T - 1) + t_of_row
     kv_pos = block_lo + jax.lax.broadcasted_iota(jnp.int32, (GT, SB), 1)
@@ -115,7 +115,7 @@ def _kernel(
             precision=jax.lax.Precision.DEFAULT,
         )  # [GT, SB]
         if int8_kv:
-            sc = sc * ks_ref[0, h, pl.ds(block_lo, SB)][None, :]
+            sc = sc * ks_row[None, :]
         sc = sc * scale
         mask = kv_pos <= q_pos
         if window is not None:
@@ -131,7 +131,7 @@ def _kernel(
         l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
 
         if int8_kv:
-            p = p * vs_ref[0, h, pl.ds(block_lo, SB)][None, :]
+            p = p * vs_row[None, :]
         v = v_ref[0, 0]
         if int8_kv:
             v = v.astype(jnp.bfloat16)
@@ -146,16 +146,78 @@ def _kernel(
         m_scr[:] = jnp.broadcast_to(m_new, (GT, 128))
         l_scr[:] = jnp.broadcast_to(l_new, (GT, 128))
 
-    @pl.when(s == ns - 1)
+    @pl.when(step_idx == n_steps - 1)
     def _finish():
         denom = jnp.maximum(l_scr[:, :1], 1e-38)
         o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
 
 
-def flash_cached_supported(T: int, S: int, hd: int, sb: int = 512) -> bool:
-    """Static-shape guard: hd must be a lane multiple; S a block multiple;
-    the folded q rows a sublane multiple after padding (handled by pad)."""
-    return hd % 128 == 0 and S % min(sb, S) == 0 and S >= 128
+def _kernel(
+    len_ref,  # SMEM [B]: valid length boundary per batch slot
+    q_ref,  # [1, 1, GT, hd]
+    k_ref,  # [1, 1, SB, hd] (bf16 or int8)
+    v_ref,  # [1, 1, SB, hd]
+    *rest,  # [ks_ref, vs_ref (int8 only: [1, KVH, S] f32)], o_ref, 3 scratches
+    T: int,
+    SB: int,
+    window,
+    scale: float,
+    int8_kv: bool,
+):
+    if int8_kv:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
+        ks_ref = vs_ref = None
+    # program_id must be bound at kernel top level (the HLO interpreter
+    # can't substitute it inside a pl.when closure)
+    s = pl.program_id(2)
+    h = pl.program_id(1)
+    block_lo = s * SB
+    # the whole [B] length vector sits in SMEM (rank-1 sub-array blocks are
+    # rejected by the Mosaic lowering)
+    length = len_ref[pl.program_id(0)]
+    _flash_step(
+        s,
+        pl.num_programs(2),
+        block_lo,
+        length,
+        q_ref,
+        k_ref,
+        v_ref,
+        ks_ref[0, h, pl.ds(block_lo, SB)] if int8_kv else None,
+        vs_ref[0, h, pl.ds(block_lo, SB)] if int8_kv else None,
+        o_ref,
+        m_scr,
+        l_scr,
+        acc_scr,
+        T=T,
+        SB=SB,
+        window=window,
+        scale=scale,
+        int8_kv=int8_kv,
+    )
+
+
+# VMEM budget for the folded q rows: the m/l/acc scratches are three
+# [GT, >=128] f32 buffers (~1.5 KB/row at hd=128), so GT is capped and
+# longer cached prefills must be chunked over T by the caller
+# (models/llama.py splits q into chunks of GT_MAX // G rows).
+GT_MAX = 2048
+
+
+def flash_cached_supported(T: int, S: int, hd: int, G: int = 1) -> bool:
+    """Static-shape guard: hd must be a lane multiple, S a 128-block
+    multiple (the previous ``S % min(sb, S)`` check was vacuous below 512
+    and let non-8-multiple sublane blocks through to Mosaic), and the
+    folded q rows must fit the VMEM scratch budget."""
+    return hd % 128 == 0 and S % 128 == 0 and S >= 128 and G * T <= GT_MAX
+
+
+def flash_paged_supported(BS: int, hd: int, G: int = 1, T: int = 1) -> bool:
+    """Paged-kernel guard: pool block token dim is a sublane (8) multiple,
+    hd a lane multiple, folded q rows within the scratch budget."""
+    return hd % 128 == 0 and BS % 8 == 0 and G * T <= GT_MAX
 
 
 def _pick_sb(S: int) -> int:
@@ -253,68 +315,28 @@ def _paged_kernel(
         o_ref, m_scr, l_scr, acc_scr = rest
         ks_ref = vs_ref = None
     b, h, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    nj = pl.num_programs(2)
-    GT, hd = q_ref.shape[2], q_ref.shape[3]
-
-    @pl.when(j == 0)
-    def _init():
-        m_scr[:] = jnp.full((GT, 128), _NEG_INF, jnp.float32)
-        l_scr[:] = jnp.zeros((GT, 128), jnp.float32)
-        acc_scr[:] = jnp.zeros((GT, hd), jnp.float32)
-
-    length = len_ref[b]
-    block_lo = j * BS
-    t_of_row = jax.lax.broadcasted_iota(jnp.int32, (GT, BS), 0) % T
-    q_pos = length - (T - 1) + t_of_row
-    kv_pos = block_lo + jax.lax.broadcasted_iota(jnp.int32, (GT, BS), 1)
-
-    alive = block_lo <= length
-    if window is not None:
-        alive = jnp.logical_and(alive, block_lo + BS > length - (T - 1) - window)
-
-    @pl.when(alive)
-    def _compute():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        if int8_kv:
-            k = k.astype(jnp.bfloat16)
-        sc = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        if int8_kv:
-            sc = sc * ks_ref[0, h][None, :]
-        sc = sc * scale
-        mask = kv_pos <= q_pos
-        if window is not None:
-            mask = jnp.logical_and(mask, kv_pos > q_pos - window)
-        sc = jnp.where(mask, sc, _NEG_INF)
-
-        m_prev = m_scr[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(sc, axis=-1, keepdims=True))
-        p = jnp.exp(sc - m_new)
-        p = jnp.where(mask, p, 0.0)
-        corr = jnp.exp(m_prev - m_new)
-        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-        if int8_kv:
-            p = p * vs_ref[0, h][None, :]
-        v = v_ref[0, 0]
-        if int8_kv:
-            v = v.astype(jnp.bfloat16)
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        acc_scr[:] = acc_scr[:] * corr + pv
-        m_scr[:] = jnp.broadcast_to(m_new, (GT, 128))
-        l_scr[:] = jnp.broadcast_to(l_new, (GT, 128))
-
-    @pl.when(j == nj - 1)
-    def _finish():
-        denom = jnp.maximum(l_scr[:, :1], 1e-38)
-        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+    # the j-th LOGICAL block; k_ref/v_ref/scale blocks were fetched from the
+    # physical block the BlockSpec index_map resolved via the table
+    _flash_step(
+        j,
+        pl.num_programs(2),
+        j * BS,
+        len_ref[b],
+        q_ref,
+        k_ref,
+        v_ref,
+        ks_ref[0, h] if int8_kv else None,
+        vs_ref[0, h] if int8_kv else None,
+        o_ref,
+        m_scr,
+        l_scr,
+        acc_scr,
+        T=T,
+        SB=BS,
+        window=window,
+        scale=scale,
+        int8_kv=int8_kv,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("T", "window", "int8_kv", "out_dtype"))

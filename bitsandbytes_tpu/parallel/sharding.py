@@ -217,7 +217,20 @@ def kv_cache_specs(
     ``data_axis``, KV heads over ``model_axis`` (matching Megatron-style
     attention-head sharding).  Works for bf16 KVCache and Int8KVCache
     (scale arrays [L, B, KVH, S] shard congruently).  Axes that don't
-    divide evenly on ``mesh`` fall back to replication."""
+    divide evenly on ``mesh`` fall back to replication.
+
+    PagedKVCache is rejected: its dim 1 is the PHYSICAL block-pool index,
+    not batch — sharding it over ``data_axis`` would scatter a slot's
+    blocks across devices while its block table stays host-side (the
+    engine enforces paged == single-host for the same reason)."""
+    from ..models.llama import PagedKVCache
+
+    if isinstance(cache, PagedKVCache):
+        raise TypeError(
+            "PagedKVCache cannot be mesh-sharded (dim 1 is the physical "
+            "block pool, not batch); serve multi-device with "
+            "kv_layout='dense', or keep paged KV single-host"
+        )
 
     def fit(axis, dim):
         if mesh is not None and dim % _axis_size(mesh, axis):

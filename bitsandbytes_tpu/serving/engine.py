@@ -233,7 +233,18 @@ class ContinuousBatchingEngine:
         self.kv_layout = kv_layout
         self.kv_block_size = kv_block_size
         if kv_layout == "paged":
-            max_blocks_per_slot = -(-max_len // kv_block_size)
+            # prefill packs whole blocks out of power-of-4-bucketed pads and
+            # step() grows tables in whole blocks up to max_len: both need
+            # max_len to be block-aligned and the block size a power of two,
+            # or the pad-slice -> [nb, BS] reshape comes up short at runtime
+            if kv_block_size < 8 or kv_block_size & (kv_block_size - 1):
+                raise ValueError("kv_block_size must be a power of two >= 8")
+            if max_len % kv_block_size:
+                raise ValueError(
+                    f"max_len ({max_len}) must be a multiple of kv_block_size "
+                    f"({kv_block_size}) for kv_layout='paged'"
+                )
+            max_blocks_per_slot = max_len // kv_block_size
             if num_kv_blocks is None:
                 num_kv_blocks = max_batch * max_blocks_per_slot
             self.num_kv_blocks = num_kv_blocks
@@ -289,6 +300,18 @@ class ContinuousBatchingEngine:
         self._next_id += 1
         if len(prompt_ids) >= self.max_len:
             raise ValueError("prompt longer than max_len")
+        if self.kv_layout == "paged":
+            need = min(
+                self._blocks_needed(len(prompt_ids) + self.steps_per_sync),
+                self.max_len // self.kv_block_size,
+            )
+            if need > self.num_kv_blocks:
+                # would wait in the queue forever — the pool can never
+                # cover the prompt plus its first decode chunk
+                raise ValueError(
+                    f"prompt needs {need} KV blocks through its first decode "
+                    f"chunk but the pool only has {self.num_kv_blocks}"
+                )
         self._pending.append(
             _Slot(rid, list(prompt_ids), max_new_tokens, temperature, top_p)
         )
@@ -312,7 +335,14 @@ class ContinuousBatchingEngine:
         admitted = []
         while free and self._pending:
             if self.kv_layout == "paged":
-                need = self._blocks_needed(len(self._pending[0].prompt) + 1)
+                # reserve through the FIRST decode chunk (step() pre-grows
+                # tables to lengths + steps_per_sync): admitting on a
+                # prompt+1 budget could exhaust the pool one dispatch later,
+                # turning the queue backpressure into a hard error
+                need = self._blocks_needed(
+                    len(self._pending[0].prompt) + self.steps_per_sync
+                )
+                need = min(need, self._tables.shape[1])
                 if need > len(self._free_blocks):
                     break  # backpressure: wait for retirements
             slot_idx = free.pop(0)

@@ -133,3 +133,29 @@ def test_llama_forward_flash_matches_dense_cpu():
         dispatch.set_backend("auto")
     np.testing.assert_allclose(lp, lp_ref, atol=0.1, rtol=0.05)
     np.testing.assert_allclose(ld, ld_ref, atol=0.1, rtol=0.05)
+
+
+def test_long_cached_prefill_chunks_over_T(monkeypatch):
+    """Cached prefill with G*T beyond the kernel's VMEM row budget splits
+    into T-chunks (models/llama.py) instead of routing to the dense path —
+    chunked output must equal the single-call flash output exactly (same
+    kernel, same blocks, only the q fold is split)."""
+    from bitsandbytes_tpu.models import llama as L
+    from bitsandbytes_tpu.ops.pallas import flash_cached
+
+    cfg = L.LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=256,
+        num_layers=1, num_heads=4, num_kv_heads=2, head_dim=128,
+    )
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, cfg.vocab_size)
+
+    def prefill():
+        cache = L.init_kv_cache(cfg, 1, 128)
+        logits, _ = L.forward(params, ids, cfg, cache=cache, start_pos=0)
+        return np.asarray(logits, np.float32)
+
+    whole = prefill()  # G=2, T=12 -> one kernel call
+    monkeypatch.setattr(flash_cached, "GT_MAX", 8)  # forces Tc_max=4 -> 3 chunks
+    chunked = prefill()
+    np.testing.assert_array_equal(whole, chunked)

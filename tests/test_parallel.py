@@ -275,3 +275,15 @@ def test_kshard_blocks_must_divide(mesh):
     # 256 / 4 shards = 64 < blocksize 128 -> K axis must drop to None
     specs = par.leaf_sharding(qt, P(None, "model"), mesh)
     assert specs.data == P(None, None)
+
+
+def test_kv_cache_specs_rejects_paged():
+    """PagedKVCache dim 1 is the physical block pool, not batch — the
+    sharding helper must refuse rather than scatter a slot's blocks."""
+    from bitsandbytes_tpu.models import llama as L
+    from bitsandbytes_tpu.parallel.sharding import kv_cache_specs
+
+    cfg = L.LlamaConfig.tiny()
+    cache = L.init_paged_kv_cache(cfg, 2, 64, 8, 16, "bf16")
+    with pytest.raises(TypeError, match="PagedKVCache"):
+        kv_cache_specs(cache)

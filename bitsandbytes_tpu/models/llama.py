@@ -86,6 +86,20 @@ class LlamaConfig:
         return cls(num_layers=num_layers)
 
     @classmethod
+    def llama3_70b(cls, num_layers: int = 80) -> "LlamaConfig":
+        """Llama-3.1-70B geometry (BASELINE 70B rows).  At ~35 GB NF4 this
+        exceeds one v5e's HBM — serve it TP-sharded over a mesh (the
+        packed-payload N-sharding rules in parallel/sharding.py); the
+        per-chip working set at tp=4 is ~9 GB."""
+        return cls(
+            hidden_size=8192,
+            intermediate_size=28672,
+            num_heads=64,
+            num_kv_heads=8,
+            num_layers=num_layers,
+        )
+
+    @classmethod
     def llama2_7b(cls, num_layers: int = 32) -> "LlamaConfig":
         return cls(
             intermediate_size=11008,
@@ -112,6 +126,20 @@ class LlamaConfig:
             intermediate_size=18944,
             num_heads=28,
             num_kv_heads=4,
+            rope_theta=1000000.0,
+            num_layers=num_layers,
+            attn_bias=True,
+        )
+
+    @classmethod
+    def qwen25_32b(cls, num_layers: int = 64) -> "LlamaConfig":
+        """Qwen2.5-32B geometry (BASELINE Qwen2.5-32B rows)."""
+        return cls(
+            vocab_size=152064,
+            hidden_size=5120,
+            intermediate_size=27648,
+            num_heads=40,
+            num_kv_heads=8,
             rope_theta=1000000.0,
             num_layers=num_layers,
             attn_bias=True,

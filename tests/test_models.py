@@ -277,3 +277,23 @@ def test_chunked_lm_loss_matches_dense():
         jax.tree_util.tree_leaves(g_dense), jax.tree_util.tree_leaves(g_chunk)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_llama3_70b_config_geometry():
+    """BASELINE 70B rows: config dims are consistent and kernel-tileable
+    (K % 256 == 0, N even for the paired layout, hd % 128 == 0 for flash)."""
+    cfg = L.LlamaConfig.llama3_70b(num_layers=1)
+    assert cfg.num_heads * cfg.head_dim == cfg.hidden_size
+    assert cfg.head_dim % 128 == 0
+    for K in (cfg.hidden_size, cfg.intermediate_size):
+        assert K % 256 == 0
+    for N in (cfg.hidden_size, cfg.intermediate_size,
+              cfg.num_kv_heads * cfg.head_dim):
+        assert N % 2 == 0
+
+
+def test_qwen25_32b_config_geometry():
+    cfg = L.LlamaConfig.qwen25_32b(num_layers=1)
+    assert cfg.num_heads * cfg.head_dim == cfg.hidden_size
+    assert cfg.hidden_size % 256 == 0 and cfg.intermediate_size % 256 == 0
+    assert cfg.attn_bias

@@ -188,6 +188,55 @@ def k_time_int16_chain(x_ref, o_ref):
     o_ref[:] = jax.lax.fori_loop(0, REPS, body, x_ref[:])
 
 
+# -- candidate C: int16 bit conds + selects over bf16 VALUES ----------------
+# Insurance for "Mosaic packs bf16 selects but not int16 selects": the 15
+# selects run on native-packed bf16 lanes; only the 4 bit tests stay int16.
+# If the int16-derived bool mask needs a relayout to gate bf16 lanes, the
+# bf16-chain microbench below will show it.
+
+def _mux16_bf16(ni):
+    c0 = (ni & jnp.int16(1)) != 0
+    c1 = (ni & jnp.int16(2)) != 0
+    c2 = (ni & jnp.int16(4)) != 0
+    c3 = (ni & jnp.int16(8)) != 0
+    cb = [jnp.bfloat16(v) for v in CODE]
+    lvl = [jnp.where(c0, cb[2 * v + 1], cb[2 * v]) for v in range(8)]
+    lvl = [jnp.where(c1, lvl[2 * v + 1], lvl[2 * v]) for v in range(4)]
+    lvl = [jnp.where(c2, lvl[2 * v + 1], lvl[2 * v]) for v in range(2)]
+    return jnp.where(c3, lvl[1], lvl[0])
+
+
+def bc_bf16_to_i16(x):
+    if _interp():
+        return jax.lax.bitcast_convert_type(x, jnp.int16)
+    return pltpu.bitcast(x, jnp.int16)
+
+
+def k_decode_C(x_ref, o_ref):
+    ni = bc_i32_to_i16(_build_ni(x_ref[:]))
+    o_ref[:] = _mux16_bf16(ni)
+
+
+def k_time_C(x_ref, o_ref):
+    def body(i, acc):
+        p = (acc ^ i) & 255
+        ni = bc_i32_to_i16(_build_ni(p))
+        vals = _mux16_bf16(ni)
+        return acc ^ bc_i16_to_i32(bc_bf16_to_i16(vals))
+
+    o_ref[:] = jax.lax.fori_loop(0, REPS, body, x_ref[:])
+
+
+def k_time_bf16_sel_chain(x_ref, o_ref):
+    """bf16 select gated by an int16-derived cond: measures whether the
+    cross-dtype mask costs a relayout (int16 cmp -> bf16 lanes)."""
+    def body(i, acc):
+        c = (bc_bf16_to_i16(acc) & jnp.int16(1)) != 0
+        return jnp.where(c, acc + jnp.bfloat16(0.5), acc - jnp.bfloat16(0.25))
+
+    o_ref[:] = jax.lax.fori_loop(0, REPS, body, x_ref[:])
+
+
 def check(name, kernel):
     rng = np.random.default_rng(0)
     pb = rng.integers(0, 256, size=(S, L), dtype=np.uint8)
@@ -233,7 +282,12 @@ def time_one(name, kernel, shape=(S, L), dtype=jnp.int32, ops_per_byte=None):
 def main():
     print("backend:", jax.default_backend())
     ok = True
-    for name, k in [("cur(pair-word)", k_decode_cur), ("A(int16 mux)", k_decode_A), ("B(int32 mux)", k_decode_B)]:
+    for name, k in [
+        ("cur(pair-word)", k_decode_cur),
+        ("A(int16 mux)", k_decode_A),
+        ("B(int32 mux)", k_decode_B),
+        ("C(bf16 sel mux)", k_decode_C),
+    ]:
         try:
             ok &= check(name, k)
         except Exception as e:
@@ -244,6 +298,8 @@ def main():
         ("time B(int32 mux)", k_time_B, (S, L), jnp.int32),
         ("time A(int16 mux)", k_time_A, (S, L), jnp.int32),
         ("time int16 chain x4", k_time_int16_chain, (2 * S, L), jnp.int16),
+        ("time C(bf16 sel mux)", k_time_C, (S, L), jnp.int32),
+        ("time bf16 sel chain", k_time_bf16_sel_chain, (2 * S, L), jnp.bfloat16),
     ]:
         try:
             time_one(name, k, sh, dt)

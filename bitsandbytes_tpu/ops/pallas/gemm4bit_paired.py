@@ -171,13 +171,14 @@ def _to_bf16_rows(w32):
 
 
 # ---------------------------------------------------------------------------
-# 2x-packed int16 decode (v3): interleave both nibble indices into an int16
-# array [2S, L] (4 int32 ops/byte + a free bitcast), then ONE 4-level
-# bit-keyed 16:1 multiplexer — 4 shared bit conditions + 15 selects, all
-# int16 so Mosaic packs two elements per 32-bit lane.  ~13.5 lane-ops per
-# element vs ~19 for the two pair-word trees (probe:
-# experiments/probe_decode16.py).  BNB_DECODE16=0 restores the pair-word
-# path (e.g. if packed int16 selects regress or Mosaic rejects them).
+# 2x-packed int16 decode (v3 candidate, DEFAULT OFF): interleave both nibble
+# indices into an int16 array [2S, L], then ONE 4-level bit-keyed 16:1
+# multiplexer.  The op-count argument (~13.5 lane-ops/element if Mosaic
+# packs int16 ALU 2x) did NOT materialize on the real chip: measured 1.96x
+# SLOWER than the pair-word trees at [4096,4096] M=16 and equal at
+# [28672,4096] (experiments/ab_decode16.py; isolation probe
+# experiments/probe_decode16.py agrees: 20.4 vs 15.8 ps/byte — Mosaic does
+# not pack int16 selects).  BNB_DECODE16=1 opts in for future re-probing.
 # ---------------------------------------------------------------------------
 
 
@@ -207,7 +208,7 @@ def _mux16(ni, code_t: tuple):
 def _decode_units(p, code_t: tuple):
     """Packed bytes ``p`` int32 [S, L] -> bf16 unit rows [2S, L] (row 2i
     from the high nibble, 2i+1 from the low — the N-paired row order)."""
-    if os.environ.get("BNB_DECODE16", "1") != "1":
+    if os.environ.get("BNB_DECODE16", "0") != "1":
         return _to_bf16_rows(_decode_pair_word(p, code_t))
     # ni[2i] = high nibble, ni[2i+1] = low nibble (low int32 half -> row 2i)
     ni32 = ((p & 15) << 16) | jax.lax.shift_right_logical(p, 4)

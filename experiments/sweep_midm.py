@@ -29,6 +29,11 @@ BS = 64
 
 SHAPES = [(4096, 4096), (6144, 4096), (28672, 4096), (4096, 14336)]
 MS = [16, 32, 64, 128, 256, 384, 512]
+# chunk for the slow remote-compile budget: argv = shape_idx [M ...]
+if len(sys.argv) > 1:
+    SHAPES = [SHAPES[int(sys.argv[1])]]
+if len(sys.argv) > 2:
+    MS = [int(m) for m in sys.argv[2:]]
 
 a_can = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.bfloat16)
 sec = device_loop_time(lambda a: jnp.tanh(a @ a), (a_can,), iters=10)

@@ -35,7 +35,21 @@ LARGE_M_THRESHOLD = 512
 # (experiments/sweep_midm.py; VERDICT r2 item 9): below the value the fused
 # kernel wins, at/above the dequant+MXU route does.  Unlisted shapes use
 # LARGE_M_THRESHOLD.  BNB_LARGE_M overrides everything (sweep/debug knob).
-_MIDM_CROSSOVER: dict = {}
+#
+# v5e measurements (Llama-3-8B decode shapes, NF4 bs=64; medians over
+# repeated runs — single runs swing ~15% with pool load, so crossovers sit
+# at the first M where the dequant route wins DECISIVELY, keeping ties in
+# the 32..128 band on the fused kernel):
+#   [ 4096, 4096] (wo)        fused<=128 tie-ish, dequant 2.8x at 256 -> 256
+#   [ 6144, 4096] (wqkv)      fused<=64, dequant wins 128 (132 vs 162) -> 128
+#   [28672, 4096] (wgate|up)  fused<=128, dequant wins >=256           -> 256
+#   [ 4096,14336] (wdown)     fused<=256, dequant 2x at 384            -> 384
+_MIDM_CROSSOVER: dict = {
+    (4096, 4096): 256,
+    (6144, 4096): 128,
+    (28672, 4096): 256,
+    (4096, 14336): 384,
+}
 
 
 def _large_m_crossover(N: int, K: int) -> int:

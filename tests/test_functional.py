@@ -231,6 +231,22 @@ def test_gemm_4bit_nested_absmax():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_mid_m_crossover_table(monkeypatch):
+    """Route selection (VERDICT r2 item 9): the per-shape crossover table
+    decides fused vs dequant+MXU; BNB_LARGE_M overrides everything."""
+    from bitsandbytes_tpu.functional import gemm as G
+
+    # swept shapes use the measured crossover
+    assert G._large_m_crossover(6144, 4096) == 128
+    assert G._large_m_crossover(28672, 4096) == 256
+    assert G._large_m_crossover(4096, 14336) == 384
+    # unswept shapes fall back to the global threshold
+    assert G._large_m_crossover(1234, 5678) == G.LARGE_M_THRESHOLD
+    # env knob wins
+    monkeypatch.setenv("BNB_LARGE_M", "64")
+    assert G._large_m_crossover(6144, 4096) == 64
+
+
 def test_stochastic_rounding_unbiased():
     """Stochastic quantization is unbiased: averaging dequantized values over
     many keys converges to the input (reference STOCHASTIC template,

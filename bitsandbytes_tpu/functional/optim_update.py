@@ -346,11 +346,16 @@ def optimizer_update_8bit_blockwise(
 
     Returns ``(new_p, new_state1, new_state2, new_absmax1, new_absmax2)``.
 
-    On TPU this routes to the fused Pallas kernel (ops/pallas/optim8bit.py).
-    Both the kernel and the jnp oracle share the segment-arithmetic
-    (de)quantization in functional/dynamic_segments.py, so they stay
-    bit-identical.  The qmaps must be concrete (non-traced) arrays for the
-    fast paths — they are baked in as compile-time constants.
+    Default route (all backends): the fused-XLA segment tier
+    (:func:`_optimizer_update_8bit_seg`) — on TPU it beats the Pallas
+    kernel because the op is DMA-bound and XLA streams ~2x the bandwidth
+    of pallas_call on this stack (see the dispatch comment below).
+    ``BNB_TPU_BACKEND=pallas`` selects the fused Pallas kernel
+    (ops/pallas/optim8bit.py) explicitly.  Both tiers share the
+    segment-arithmetic (de)quantization in functional/dynamic_segments.py,
+    so they stay bit-identical under jit.  The qmaps must be concrete
+    (non-traced) arrays for the fast paths — they are baked in as
+    compile-time constants.
     """
     from ..ops import dispatch
 
@@ -363,7 +368,14 @@ def optimizer_update_8bit_blockwise(
         weight_decay=weight_decay, step=step, lr=lr, gnorm_scale=gnorm_scale,
     )
 
-    if dispatch.use_pallas() and concrete:
+    # The fused Pallas kernel is EXPLICIT-ONLY (BNB_TPU_BACKEND=pallas):
+    # on this stack pallas_call streaming tops out at ~220 GB/s while XLA
+    # streams the same IO at ~480 GB/s, so the DMA-bound update is faster
+    # as fused XLA elementwise code — measured interleaved on v5e (64M
+    # Adam): jnp-seg 6.86 ms vs Pallas kernel 8.88 ms vs 32-bit 6.11 ms
+    # (experiments/ab_opt8_tier.py, probe_stream_bw.py).  Both tiers share
+    # the segment arithmetic and agree bit-exactly under jit.
+    if dispatch.backend() == "pallas" and concrete:
         from ..ops.pallas.optim8bit import (
             optimizer_update_8bit_pallas,
             pallas_optim8bit_supported,

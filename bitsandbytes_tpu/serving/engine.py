@@ -26,8 +26,9 @@ TPU-native serving slice from BASELINE.json configs #3/#5.
 from __future__ import annotations
 
 import dataclasses
+from collections import deque
 from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Any, Deque, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -202,6 +203,7 @@ class ContinuousBatchingEngine:
         kv_layout: str = "dense",
         kv_block_size: int = 128,
         num_kv_blocks: Optional[int] = None,
+        pipeline_depth: int = 2,
     ):
         """``sampling_pool``: size of the static top-k candidate set for
         temperature/top-p sampling (see :func:`_sample_tokens`); ``None``
@@ -213,6 +215,16 @@ class ContinuousBatchingEngine:
         Admissions that cannot get blocks wait in the queue; if ACTIVE slots
         cannot grow mid-decode the engine raises (size the pool for the
         expected live-token total).  Paged is single-host (no ``mesh``).
+
+        ``pipeline_depth``: decode chunks in flight before the host blocks
+        on results (1 = classic lockstep dispatch-then-sync).  At depth 2
+        (default) the host processes chunk N's tokens while chunk N+1
+        executes on device — the chunk's input tokens are chained device-
+        side from the previous chunk's output, so the host sync and the
+        Python bookkeeping hide under device compute.  Retirement and
+        admission decisions lag by ``depth-1`` chunks: a finished request's
+        slot keeps decoding (discarded tokens) for up to that many extra
+        chunks.  Greedy token streams are identical at every depth.
 
         ``mesh``: a `jax.sharding.Mesh` with a ``model`` axis (and
         optionally ``data``) turns the engine multi-device: the quantized
@@ -271,9 +283,25 @@ class ContinuousBatchingEngine:
         self.params = params
         self.cache = cache
         self.kv_dtype = kv_dtype
-        self.lengths = np.zeros(max_batch, np.int32)  # tokens already in cache
+        self.lengths = np.zeros(max_batch, np.int32)  # committed tokens in cache
+        # dispatch-side cache positions: runs ahead of ``lengths`` by the
+        # in-flight chunks (pipeline_depth > 1)
+        self._disp_lengths = np.zeros(max_batch, np.int32)
         self.slots: Dict[int, _Slot] = {}
-        self.cur_token = np.zeros(max_batch, np.int32)
+        # slot -> 0-d device array: first tokens of freshly admitted requests
+        # whose host fetch is deferred to the next chunk's sync (admission
+        # never blocks; a per-request sync costs a full tunnel round trip,
+        # measured ~80 ms/request of the ~87 ms admission wall)
+        self._first_pending: Dict[int, jax.Array] = {}
+        # chunks dispatched but not yet host-processed; each entry is
+        # (chunk_dev [S,B], pend [(slot, req_id, first_dev)], smap {slot:
+        # req_id at dispatch}) — smap guards token attribution when a slot
+        # is retired + re-admitted while the chunk is in flight
+        self._inflight: Deque[Tuple[Any, list, Dict[int, int]]] = deque()
+        # previous chunk's final tokens, ON DEVICE: the next chunk's input
+        # chains from it without a host round trip
+        self._last_out: Optional[jax.Array] = None
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.temps = np.zeros(max_batch, np.float32)
         self.top_ps = np.ones(max_batch, np.float32)
         self._step_count = 0
@@ -326,13 +354,15 @@ class ContinuousBatchingEngine:
         return -(-max(n_tokens, 1) // self.kv_block_size)
 
     def _admit(self) -> None:
-        """Admit pending requests into free slots.  All prefill dispatches
-        are issued asynchronously and their first tokens fetched with ONE
-        host sync (per-request syncs dominate wall clock on remote
-        runtimes).  Paged KV: a request waits in the queue until the pool
-        has blocks for its prompt (+1 decode block)."""
+        """Admit pending requests into free slots.  Admission is fully
+        asynchronous: prefills are dispatched, their first tokens stay ON
+        DEVICE (``_first_pending``) and are overlaid into the next decode
+        chunk's input device-side; the host fetch piggybacks on that chunk's
+        sync.  A per-request blocking fetch costs a tunnel round trip —
+        measured ~80 ms/request, dominating engine wall clock at high
+        admission rates.  Paged KV: a request waits in the queue until the
+        pool has blocks for its prompt (+ its first decode chunk)."""
         free = self._free_slots()
-        admitted = []
         while free and self._pending:
             if self.kv_layout == "paged":
                 # reserve through the FIRST decode chunk (step() pre-grows
@@ -347,13 +377,7 @@ class ContinuousBatchingEngine:
                     break  # backpressure: wait for retirements
             slot_idx = free.pop(0)
             req = self._pending.pop(0)
-            nxt = self._prefill_into(slot_idx, req)
-            admitted.append((slot_idx, req, nxt))
-        if admitted:
-            firsts = np.asarray(jnp.stack([n for _, _, n in admitted]))
-            for (b, req, _), tok in zip(admitted, firsts):
-                self.cur_token[b] = int(tok)
-                req.tokens.append(int(tok))
+            self._first_pending[slot_idx] = self._prefill_into(slot_idx, req)
 
     def _prefill_into(self, b: int, req: _Slot):
         ids = np.asarray(req.prompt, np.int32)
@@ -420,30 +444,64 @@ class ContinuousBatchingEngine:
                 lambda big, one: _write_slot_dense(big, one, bj), self.cache, cache1
             )
         self.lengths[b] = len(ids)
+        self._disp_lengths[b] = len(ids)
         self.slots[b] = req
         return nxt
 
     def has_work(self) -> bool:
-        return bool(self.slots) or bool(self._pending)
+        return bool(self.slots) or bool(self._pending) or bool(self._inflight)
+
+    def _retire(self, b: int) -> None:
+        del self.slots[b]
+        self.lengths[b] = 0
+        self._disp_lengths[b] = 0
+        self.temps[b] = 0.0
+        self.top_ps[b] = 1.0
+        if self.kv_layout == "paged":
+            # return the slot's blocks to the pool; park the table on the
+            # trash block so inactive-slot writes can't alias live data.
+            # Reuse by a later admission is safe: the device stream orders
+            # the already-dispatched decode chunk before any new prefill
+            # scatter into the same blocks.
+            self._free_blocks.extend(self._slot_blocks.pop(b))
+            self._tables[b, :] = self._trash_block
 
     # -- decode -------------------------------------------------------------
 
     def step(self) -> List[GenerationResult]:
-        """One decode step across all occupied slots.  Returns requests that
-        finished this step."""
-        if not self.slots:
+        """Dispatch one decode chunk (if any slot is live) and host-process
+        the oldest in-flight chunk once ``pipeline_depth`` chunks are in
+        flight.  Returns requests that finished this step."""
+        if not self.slots and not self._inflight:
             self._admit()
             if not self.slots:
                 return []
+        if self.slots:
+            self._dispatch_chunk()
+        finished: List[GenerationResult] = []
+        # keep depth-1 chunks in flight while slots are live; drain fully
+        # once nothing is left to dispatch
+        keep = self.pipeline_depth - 1 if self.slots else 0
+        while len(self._inflight) > keep:
+            finished.extend(self._process_oldest())
+        self._admit()
+        return finished
+
+    def _dispatch_chunk(self) -> None:
+        """Dispatch one decode chunk for all live slots — NO host sync.
+        Input tokens chain device-side from the previous chunk's output
+        (plus deferred prefill first-tokens), so dispatch cost is pure
+        Python + async transfer."""
         active = np.zeros(self.max_batch, bool)
         for b in self.slots:
             active[b] = True
         if self.kv_layout == "paged":
             # grow tables so every active slot's blocks cover the whole
-            # decode chunk (writes at lengths[b] .. lengths[b]+S-1)
-            BS = self.kv_block_size
+            # decode chunk (writes at disp_lengths[b] .. +S-1)
             for b in self.slots:
-                need = self._blocks_needed(int(self.lengths[b]) + self.steps_per_sync)
+                need = self._blocks_needed(
+                    int(self._disp_lengths[b]) + self.steps_per_sync
+                )
                 need = min(need, self._tables.shape[1])
                 have = len(self._slot_blocks[b])
                 while have < need:
@@ -461,8 +519,23 @@ class ContinuousBatchingEngine:
                 # last live block on dead steps -> no DMA refetch)
                 self._tables[b, have:] = self._tables[b, have - 1]
             self.cache = self.cache._replace(tables=jnp.asarray(self._tables))
-        positions = jnp.asarray(np.where(active, self.lengths, 0), jnp.int32)
-        tokens = jnp.asarray(self.cur_token, jnp.int32)
+        positions = jnp.asarray(np.where(active, self._disp_lengths, 0), jnp.int32)
+        if self._last_out is None:
+            tokens = jnp.zeros((self.max_batch,), jnp.int32)
+        else:
+            tokens = self._last_out
+        # overlay deferred first tokens device-side (no host sync): freshly
+        # admitted slots' entries in the chained token vector are stale
+        # until their prefill first-token is merged in
+        pend = [
+            (b, self.slots[b].request_id, t)
+            for b, t in sorted(self._first_pending.items())
+        ]
+        self._first_pending.clear()
+        if pend:
+            idxs = jnp.asarray([b for b, _, _ in pend], jnp.int32)
+            firsts_dev = jnp.stack([t for _, _, t in pend]).astype(jnp.int32)
+            tokens = tokens.at[idxs].set(firsts_dev)
         key = jax.random.fold_in(
             jax.random.fold_in(self._base_key, self._step_count % (1 << 31)), 0
         )
@@ -474,17 +547,60 @@ class ContinuousBatchingEngine:
             cfg=self.cfg, S=self.steps_per_sync,
             sampling=sampling, pool=self.sampling_pool,
         )
-        chunk = np.asarray(chunk)  # [S, B]
-        S = chunk.shape[0]
+        self._last_out = chunk[-1]
+        self._disp_lengths[active] += self.steps_per_sync
+        smap = {b: self.slots[b].request_id for b in self.slots}
+        self._inflight.append((chunk, pend, smap))
 
+    def _process_oldest(self) -> List[GenerationResult]:
+        """Host-process the oldest in-flight chunk: fetch tokens (ONE sync),
+        append to requests, retire finished ones.  Token attribution is
+        guarded by the request id recorded at dispatch — a slot retired and
+        re-admitted while the chunk was in flight contributes nothing."""
+        chunk_dev, pend, smap = self._inflight.popleft()
         finished: List[GenerationResult] = []
-        for b in list(self.slots):
-            req = self.slots[b]
+        dead_on_first = set()
+        if pend:
+            # one coalesced fetch; the prefill work completed at or before
+            # the decode chunk, so this wait is already paid for
+            firsts = np.asarray(jnp.stack([t for _, _, t in pend]))
+            for (b, rid, _), tok in zip(pend, firsts):
+                req = self.slots.get(b)
+                if req is None or req.request_id != rid:
+                    continue  # unreachable in FIFO order; guard regardless
+                tok = int(tok)
+                req.tokens.append(tok)
+                done_eos = self.eos_id is not None and tok == self.eos_id
+                done_len = (
+                    len(req.tokens) >= req.max_new_tokens
+                    or self.lengths[b] + 1 >= self.max_len
+                )
+                if done_eos or done_len:
+                    dead_on_first.add(b)
+                    finished.append(
+                        GenerationResult(
+                            request_id=req.request_id,
+                            prompt=req.prompt,
+                            tokens=req.tokens,
+                            finished_reason="eos" if done_eos else "length",
+                        )
+                    )
+
+        chunk = np.asarray(chunk_dev)  # [S, B]
+        S = chunk.shape[0]
+        for b, rid in smap.items():
+            req = self.slots.get(b)
+            if req is None or req.request_id != rid:
+                continue  # slot was retired (and possibly re-admitted)
+            if b in dead_on_first:
+                # finished on its (prefill) first token: the chunk's tokens
+                # for this slot are speculative garbage — discard and retire
+                self._retire(b)
+                continue
             done_eos = done_len = False
             for s in range(S):
                 tok = int(chunk[s, b])
                 req.tokens.append(tok)
-                self.cur_token[b] = tok
                 self.lengths[b] += 1
                 done_eos = self.eos_id is not None and tok == self.eos_id
                 done_len = (
@@ -502,17 +618,7 @@ class ContinuousBatchingEngine:
                         finished_reason="eos" if done_eos else "length",
                     )
                 )
-                del self.slots[b]
-                self.lengths[b] = 0
-                self.temps[b] = 0.0
-                self.top_ps[b] = 1.0
-                if self.kv_layout == "paged":
-                    # return the slot's blocks to the pool; park the table
-                    # on the trash block so inactive-slot writes can't
-                    # alias live data
-                    self._free_blocks.extend(self._slot_blocks.pop(b))
-                    self._tables[b, :] = self._trash_block
-        self._admit()
+                self._retire(b)
         return finished
 
     def generate(

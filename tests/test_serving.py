@@ -74,6 +74,47 @@ def test_eos_stops(setup):
     assert r.tokens == r0.tokens[:2]
 
 
+def test_eos_on_first_generated_token(setup):
+    """EOS produced directly by prefill (the request's FIRST generated
+    token) must finish the request with exactly that one token."""
+    cfg, qparams = setup
+    probe = ContinuousBatchingEngine(qparams, cfg, max_batch=1, max_len=64)
+    [r0] = probe.generate([[5, 6]], max_new_tokens=4)
+    eos = r0.tokens[0]
+    eng = ContinuousBatchingEngine(qparams, cfg, max_batch=1, max_len=64, eos_id=eos)
+    [r] = eng.generate([[5, 6]], max_new_tokens=10)
+    assert r.finished_reason == "eos"
+    assert r.tokens == [eos]
+
+
+def test_max_new_tokens_one(setup):
+    """max_new_tokens=1 returns exactly one token (the prefill output)."""
+    cfg, qparams = setup
+    eng = ContinuousBatchingEngine(qparams, cfg, max_batch=2, max_len=64)
+    results = eng.generate([[1, 2, 3], [9]], max_new_tokens=1)
+    assert all(len(r.tokens) == 1 for r in results)
+    probe = ContinuousBatchingEngine(qparams, cfg, max_batch=2, max_len=64)
+    full = probe.generate([[1, 2, 3], [9]], max_new_tokens=4)
+    for r, f in zip(results, full):
+        assert r.tokens == f.tokens[:1]
+
+
+def test_pipeline_depths_identical(setup):
+    """Greedy token streams are identical at every pipeline depth (depth
+    only changes when the host syncs, not what the device computes)."""
+    cfg, qparams = setup
+    prompts = [[1, 2, 3], [7, 8], [42, 5, 6, 9]]
+    outs = []
+    for depth in (1, 2, 3):
+        eng = ContinuousBatchingEngine(
+            qparams, cfg, max_batch=2, max_len=64, kv_layout="paged",
+            kv_block_size=8, pipeline_depth=depth, steps_per_sync=2,
+        )
+        rs = eng.generate(prompts, max_new_tokens=5)
+        outs.append([r.tokens for r in rs])
+    assert outs[0] == outs[1] == outs[2]
+
+
 def test_sampling_modes(setup):
     """Temperature/top-p sampling: temp=0 equals greedy; fixed seed is
     reproducible; temp>0 with top_p<1 produces valid tokens and (over many

@@ -96,6 +96,12 @@ def main():
     c1 = canary_tflops()
     pool = ((c0 + c1) / 2) / CANARY_REF_TFLOPS
     print(f"canary after:  {c1:.0f} TFLOPs", flush=True)
+    # print the headline BEFORE the device-chunk timing below: its compile
+    # can hang on the flaky remote-compile service, losing the whole run
+    print(f"engine[{'paged' if paged else 'dense'},{kv}] bs={bs}: "
+          f"raw {raw:.1f} tok/s, normalized {raw/pool:.1f} tok/s "
+          f"(pool factor {pool:.2f}, n={total_tokens} tok, {steps} steps)",
+          flush=True)
 
     # device-only decode chunk time at full batch (host overhead excluded)
     dev_chunk = None
@@ -121,9 +127,6 @@ def main():
     except Exception as e:
         print("device-chunk timing failed:", str(e)[:160])
 
-    print(f"engine[{'paged' if paged else 'dense'},{kv}] bs={bs}: "
-          f"raw {raw:.1f} tok/s, normalized {raw/pool:.1f} tok/s "
-          f"(pool factor {pool:.2f}, n={total_tokens} tok, {steps} steps)")
     if dev_chunk is not None:
         per_step_wall = wall / steps
         print(f"  device decode chunk: {dev_chunk*1e3:.1f} ms/chunk "

@@ -294,9 +294,10 @@ class ContinuousBatchingEngine:
         # measured ~80 ms/request of the ~87 ms admission wall)
         self._first_pending: Dict[int, jax.Array] = {}
         # chunks dispatched but not yet host-processed; each entry is
-        # (chunk_dev [S,B], pend [(slot, req_id, first_dev)], smap {slot:
-        # req_id at dispatch}) — smap guards token attribution when a slot
-        # is retired + re-admitted while the chunk is in flight
+        # (chunk_dev [S,B], pend [(slot, req_id, first_dev)], firsts_dev
+        # (stacked first tokens, device), smap {slot: req_id at dispatch})
+        # — smap guards token attribution when a slot is retired +
+        # re-admitted while the chunk is in flight
         self._inflight: Deque[Tuple[Any, list, Dict[int, int]]] = deque()
         # previous chunk's final tokens, ON DEVICE: the next chunk's input
         # chains from it without a host round trip
@@ -532,6 +533,7 @@ class ContinuousBatchingEngine:
             for b, t in sorted(self._first_pending.items())
         ]
         self._first_pending.clear()
+        firsts_dev = None
         if pend:
             idxs = jnp.asarray([b for b, _, _ in pend], jnp.int32)
             firsts_dev = jnp.stack([t for _, _, t in pend]).astype(jnp.int32)
@@ -550,20 +552,20 @@ class ContinuousBatchingEngine:
         self._last_out = chunk[-1]
         self._disp_lengths[active] += self.steps_per_sync
         smap = {b: self.slots[b].request_id for b in self.slots}
-        self._inflight.append((chunk, pend, smap))
+        self._inflight.append((chunk, pend, firsts_dev, smap))
 
     def _process_oldest(self) -> List[GenerationResult]:
         """Host-process the oldest in-flight chunk: fetch tokens (ONE sync),
         append to requests, retire finished ones.  Token attribution is
         guarded by the request id recorded at dispatch — a slot retired and
         re-admitted while the chunk was in flight contributes nothing."""
-        chunk_dev, pend, smap = self._inflight.popleft()
+        chunk_dev, pend, firsts_dev, smap = self._inflight.popleft()
         finished: List[GenerationResult] = []
         dead_on_first = set()
         if pend:
             # one coalesced fetch; the prefill work completed at or before
             # the decode chunk, so this wait is already paid for
-            firsts = np.asarray(jnp.stack([t for _, _, t in pend]))
+            firsts = np.asarray(firsts_dev)
             for (b, rid, _), tok in zip(pend, firsts):
                 req = self.slots.get(b)
                 if req is None or req.request_id != rid:

@@ -294,10 +294,11 @@ class ContinuousBatchingEngine:
         # measured ~80 ms/request of the ~87 ms admission wall)
         self._first_pending: Dict[int, jax.Array] = {}
         # chunks dispatched but not yet host-processed; each entry is
-        # (chunk_dev [S,B], pend [(slot, req_id, first_dev)], firsts_dev
-        # (stacked first tokens, device), smap {slot: req_id at dispatch})
-        # — smap guards token attribution when a slot is retired +
-        # re-admitted while the chunk is in flight
+        # (fetch_dev [S(+1),B] — input-token row prepended when admissions
+        # are pending so ONE fetch serves firsts + chunk, pend [(slot,
+        # req_id, first_dev)], smap {slot: req_id at dispatch}) — smap
+        # guards token attribution when a slot is retired + re-admitted
+        # while the chunk is in flight
         self._inflight: Deque[Tuple[Any, list, Dict[int, int]]] = deque()
         # previous chunk's final tokens, ON DEVICE: the next chunk's input
         # chains from it without a host round trip
@@ -552,21 +553,26 @@ class ContinuousBatchingEngine:
         self._last_out = chunk[-1]
         self._disp_lengths[active] += self.steps_per_sync
         smap = {b: self.slots[b].request_id for b in self.slots}
-        self._inflight.append((chunk, pend, firsts_dev, smap))
+        # prepend the input-token row: row 0 carries the deferred first
+        # tokens at the pend slots, so processing needs ONE fetch (each
+        # fetch of a fresh array costs a full tunnel round trip, ~26 ms
+        # measured — experiments/probe_rtt.py)
+        fetch = jnp.concatenate([tokens[None], chunk], axis=0) if pend else chunk
+        self._inflight.append((fetch, pend, smap))
 
     def _process_oldest(self) -> List[GenerationResult]:
         """Host-process the oldest in-flight chunk: fetch tokens (ONE sync),
         append to requests, retire finished ones.  Token attribution is
         guarded by the request id recorded at dispatch — a slot retired and
         re-admitted while the chunk was in flight contributes nothing."""
-        chunk_dev, pend, firsts_dev, smap = self._inflight.popleft()
+        fetch_dev, pend, smap = self._inflight.popleft()
+        arr = np.asarray(fetch_dev)  # ONE round trip for firsts + chunk
+        chunk = arr[1:] if pend else arr  # [S, B]
         finished: List[GenerationResult] = []
         dead_on_first = set()
         if pend:
-            # one coalesced fetch; the prefill work completed at or before
-            # the decode chunk, so this wait is already paid for
-            firsts = np.asarray(firsts_dev)
-            for (b, rid, _), tok in zip(pend, firsts):
+            for (b, rid, _) in pend:
+                tok = arr[0, b]
                 req = self.slots.get(b)
                 if req is None or req.request_id != rid:
                     continue  # unreachable in FIFO order; guard regardless
@@ -588,7 +594,6 @@ class ContinuousBatchingEngine:
                         )
                     )
 
-        chunk = np.asarray(chunk_dev)  # [S, B]
         S = chunk.shape[0]
         for b, rid in smap.items():
             req = self.slots.get(b)

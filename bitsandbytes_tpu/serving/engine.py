@@ -304,6 +304,15 @@ class ContinuousBatchingEngine:
         # chains from it without a host round trip
         self._last_out: Optional[jax.Array] = None
         self.pipeline_depth = max(1, int(pipeline_depth))
+        # device-resident dispatch inputs, re-uploaded only when the slot
+        # set changes (each host->device upload costs ~2 ms dispatch-side;
+        # steady-state decode steps change nothing)
+        self._slots_dirty = True
+        self._tables_dirty = True
+        self._positions_dev: Optional[jax.Array] = None
+        self._active_dev: Optional[jax.Array] = None
+        self._temps_dev: Optional[jax.Array] = None
+        self._topps_dev: Optional[jax.Array] = None
         self.temps = np.zeros(max_batch, np.float32)
         self.top_ps = np.ones(max_batch, np.float32)
         self._step_count = 0
@@ -448,6 +457,9 @@ class ContinuousBatchingEngine:
         self.lengths[b] = len(ids)
         self._disp_lengths[b] = len(ids)
         self.slots[b] = req
+        self._slots_dirty = True
+        if self.kv_layout == "paged":
+            self._tables_dirty = True
         return nxt
 
     def has_work(self) -> bool:
@@ -459,6 +471,7 @@ class ContinuousBatchingEngine:
         self._disp_lengths[b] = 0
         self.temps[b] = 0.0
         self.top_ps[b] = 1.0
+        self._slots_dirty = True
         if self.kv_layout == "paged":
             # return the slot's blocks to the pool; park the table on the
             # trash block so inactive-slot writes can't alias live data.
@@ -467,6 +480,7 @@ class ContinuousBatchingEngine:
             # scatter into the same blocks.
             self._free_blocks.extend(self._slot_blocks.pop(b))
             self._tables[b, :] = self._trash_block
+            self._tables_dirty = True
 
     # -- decode -------------------------------------------------------------
 
@@ -506,6 +520,7 @@ class ContinuousBatchingEngine:
                 )
                 need = min(need, self._tables.shape[1])
                 have = len(self._slot_blocks[b])
+                grew = have < need
                 while have < need:
                     if not self._free_blocks:
                         raise RuntimeError(
@@ -517,11 +532,25 @@ class ContinuousBatchingEngine:
                     self._slot_blocks[b].append(nb)
                     self._tables[b, have] = nb
                     have += 1
-                # clamp-filler beyond the live blocks (kernel re-reads the
-                # last live block on dead steps -> no DMA refetch)
-                self._tables[b, have:] = self._tables[b, have - 1]
-            self.cache = self.cache._replace(tables=jnp.asarray(self._tables))
-        positions = jnp.asarray(np.where(active, self._disp_lengths, 0), jnp.int32)
+                if grew:
+                    # clamp-filler beyond the live blocks (kernel re-reads
+                    # the last live block on dead steps -> no DMA refetch)
+                    self._tables[b, have:] = self._tables[b, have - 1]
+                    self._tables_dirty = True
+            if self._tables_dirty:
+                self.cache = self.cache._replace(tables=jnp.asarray(self._tables))
+                self._tables_dirty = False
+        if self._slots_dirty:
+            positions = jnp.asarray(np.where(active, self._disp_lengths, 0), jnp.int32)
+            self._active_dev = jnp.asarray(active.astype(np.int32))
+            self._temps_dev = jnp.asarray(self.temps)
+            self._topps_dev = jnp.asarray(self.top_ps)
+            self._slots_dirty = False
+        else:
+            # same slot set as the previous dispatch: every active slot
+            # advanced exactly S positions (device-side add, no upload)
+            positions = self._positions_dev + self.steps_per_sync * self._active_dev
+        self._positions_dev = positions
         if self._last_out is None:
             tokens = jnp.zeros((self.max_batch,), jnp.int32)
         else:
@@ -546,7 +575,7 @@ class ContinuousBatchingEngine:
         sampling = bool((self.temps > 0).any())
         chunk, self.cache = _decode_chunk(
             self.params, self.cache, tokens, positions,
-            jnp.asarray(self.temps), jnp.asarray(self.top_ps), key,
+            self._temps_dev, self._topps_dev, key,
             cfg=self.cfg, S=self.steps_per_sync,
             sampling=sampling, pool=self.sampling_pool,
         )

@@ -150,6 +150,28 @@ def _prefill_one(params, cache1, ids_padded, true_len, temp, top_p, key, *, cfg,
     return nxt, cache1
 
 
+@partial(jax.jit, static_argnames=("cfg", "pad_len", "sampling", "pool"))
+def _prefill_batch(params, cache_n, ids, true_lens, temps, top_ps, key, *, cfg, pad_len, sampling, pool):
+    """Batched prefill: several same-bucket prompts run as ONE forward
+    (burst admissions would otherwise pay one program dispatch + its fixed
+    per-op overheads per request).  ids [n, pad_len]; true_lens [n]."""
+    logits, cache_n = L.forward(params, ids, cfg, cache=cache_n, start_pos=0)
+    last = jnp.take_along_axis(
+        logits, (true_lens - 1)[:, None, None], axis=1
+    )[:, 0]  # [n, V]
+    if sampling:
+        nxt = _sample_tokens(last, temps, top_ps, key, pool=pool)
+    else:
+        nxt = jnp.argmax(last, -1).astype(jnp.int32)
+    return nxt, cache_n
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_slots_dense(big, many, ids):
+    """Dense-cache batched admission: write slots ``ids`` in place."""
+    return big.at[:, ids].set(many)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _scatter_blocks(pool, blocks, ids):
     """Write a slot's prefilled blocks into the shared pool IN PLACE (the
@@ -354,7 +376,9 @@ class ContinuousBatchingEngine:
         self._pending.append(
             _Slot(rid, list(prompt_ids), max_new_tokens, temperature, top_p)
         )
-        self._admit()
+        # admission happens at the next step() (single-threaded callers
+        # cannot observe the difference, and queued bursts group into
+        # batched prefills there)
         return rid
 
     def _free_slots(self) -> List[int]:
@@ -374,6 +398,8 @@ class ContinuousBatchingEngine:
         admission rates.  Paged KV: a request waits in the queue until the
         pool has blocks for its prompt (+ its first decode chunk)."""
         free = self._free_slots()
+        batch: List[Tuple[int, _Slot]] = []
+        avail = len(self._free_blocks) if self.kv_layout == "paged" else 0
         while free and self._pending:
             if self.kv_layout == "paged":
                 # reserve through the FIRST decode chunk (step() pre-grows
@@ -384,11 +410,81 @@ class ContinuousBatchingEngine:
                     len(self._pending[0].prompt) + self.steps_per_sync
                 )
                 need = min(need, self._tables.shape[1])
-                if need > len(self._free_blocks):
+                if need > avail:
                     break  # backpressure: wait for retirements
-            slot_idx = free.pop(0)
-            req = self._pending.pop(0)
-            self._first_pending[slot_idx] = self._prefill_into(slot_idx, req)
+                avail -= self._blocks_needed(len(self._pending[0].prompt))
+            batch.append((free.pop(0), self._pending.pop(0)))
+        if not batch:
+            return
+        # group same-pad-bucket admissions into ONE batched prefill; burst
+        # admissions otherwise pay one program dispatch per request
+        groups: Dict[int, List[Tuple[int, _Slot]]] = {}
+        for b, req in batch:
+            groups.setdefault(self._prefill_pad(len(req.prompt)), []).append((b, req))
+        for pad, grp in sorted(groups.items()):
+            if len(grp) == 1:
+                b, req = grp[0]
+                self._first_pending[b] = self._prefill_into(b, req)
+            else:
+                self._prefill_group(pad, grp)
+
+    def _prefill_pad(self, n_ids: int) -> int:
+        pad = _bucket(n_ids)
+        if self.kv_layout == "paged":
+            # pad to whole KV blocks so the prefilled cache slices cleanly
+            pad = max(pad, self.kv_block_size)
+        return min(pad, self.max_len)
+
+    def _prefill_group(self, pad_len: int, grp: List[Tuple[int, _Slot]]) -> None:
+        """Prefill several same-bucket requests as one batched forward.
+        The batch is padded to a power-of-4 bucket (few compiled programs);
+        padding rows prefill garbage that is never committed.  Sampled
+        first tokens draw from a group key (greedy tokens are identical to
+        the one-request path)."""
+        n = len(grp)
+        n_pad = _bucket(n, lo=4)
+        ids_p = np.zeros((n_pad, pad_len), np.int32)
+        true_lens = np.ones(n_pad, np.int32)
+        temps = np.zeros(n_pad, np.float32)
+        top_ps = np.ones(n_pad, np.float32)
+        for i, (b, req) in enumerate(grp):
+            ids_p[i, : len(req.prompt)] = req.prompt
+            true_lens[i] = len(req.prompt)
+            temps[i] = req.temperature
+            top_ps[i] = req.top_p
+            self.temps[b] = req.temperature
+            self.top_ps[b] = req.top_p
+        key = jax.random.fold_in(
+            jax.random.fold_in(self._base_key, grp[0][1].request_id % (1 << 31)), 1
+        )
+        if self.kv_layout == "paged":
+            cache_n = L.init_kv_cache(self.cfg, n_pad, pad_len, kv_dtype=self.kv_dtype)
+        else:
+            idxs = [b for b, _ in grp] + [grp[0][0]] * (n_pad - n)
+            gather = jnp.asarray(idxs, jnp.int32)
+            cache_n = jax.tree_util.tree_map(lambda x: x[:, gather], self.cache)
+        nxt, cache_n = _prefill_batch(
+            self.params, cache_n, jnp.asarray(ids_p), jnp.asarray(true_lens),
+            jnp.asarray(temps), jnp.asarray(top_ps), key,
+            cfg=self.cfg, pad_len=pad_len,
+            sampling=any(r.temperature > 0 for _, r in grp),
+            pool=self.sampling_pool,
+        )
+        if self.kv_layout == "paged":
+            for i, (b, req) in enumerate(grp):
+                self._pack_slot_blocks(b, len(req.prompt), cache_n, row=i)
+        else:
+            scatter = jnp.asarray([b for b, _ in grp], jnp.int32)
+            self.cache = jax.tree_util.tree_map(
+                lambda big, many: _write_slots_dense(big, many[:, :n], scatter),
+                self.cache, cache_n,
+            )
+        for i, (b, req) in enumerate(grp):
+            self.lengths[b] = len(req.prompt)
+            self._disp_lengths[b] = len(req.prompt)
+            self.slots[b] = req
+            self._first_pending[b] = nxt[i]
+        self._slots_dirty = True
 
     def _prefill_into(self, b: int, req: _Slot):
         ids = np.asarray(req.prompt, np.int32)
@@ -418,36 +514,7 @@ class ContinuousBatchingEngine:
             sampling=req.temperature > 0.0, pool=self.sampling_pool,
         )
         if self.kv_layout == "paged":
-            # allocate blocks for the prompt and pack the prefilled dense
-            # cache1 into the pool (one donated scatter per pool array)
-            BS = self.kv_block_size
-            nb = self._blocks_needed(len(ids))
-            blk_ids = [self._free_blocks.pop() for _ in range(nb)]
-            self._slot_blocks[b] = blk_ids
-            self._tables[b, :] = blk_ids[-1]  # clamp-safe filler
-            self._tables[b, :nb] = blk_ids
-            ids_dev = jnp.asarray(blk_ids, jnp.int32)
-
-            def pack(pool, one, is_payload):
-                # one: [L, 1, KVH, pad_len(, hd)] -> blocks [L, nb, KVH, BS(, hd)]
-                sl = one[:, 0]
-                L_, KVH = sl.shape[0], sl.shape[1]
-                rest = sl.shape[3:]
-                blocks = sl[:, :, : nb * BS].reshape(L_, KVH, nb, BS, *rest)
-                blocks = jnp.moveaxis(blocks, 2, 1)  # [L, nb, KVH, BS, ...]
-                return _scatter_blocks(pool, blocks, ids_dev)
-
-            new_cache = dict(
-                k=pack(self.cache.k, cache1.k, True),
-                v=pack(self.cache.v, cache1.v, True),
-                k_scale=self.cache.k_scale,
-                v_scale=self.cache.v_scale,
-                tables=jnp.asarray(self._tables),
-            )
-            if self.cache.k_scale is not None:
-                new_cache["k_scale"] = pack(self.cache.k_scale, cache1.k_scale, False)
-                new_cache["v_scale"] = pack(self.cache.v_scale, cache1.v_scale, False)
-            self.cache = L.PagedKVCache(**new_cache)
+            self._pack_slot_blocks(b, len(ids), cache1, row=0)
         else:
             # write the slot back into the big cache (donated in-place update)
             bj = jnp.asarray(b, jnp.int32)
@@ -458,9 +525,41 @@ class ContinuousBatchingEngine:
         self._disp_lengths[b] = len(ids)
         self.slots[b] = req
         self._slots_dirty = True
-        if self.kv_layout == "paged":
-            self._tables_dirty = True
         return nxt
+
+    def _pack_slot_blocks(self, b: int, prompt_len: int, cache_n, row: int) -> None:
+        """Allocate blocks for slot ``b``'s prompt and pack row ``row`` of a
+        prefilled dense cache into the shared pool (one donated scatter per
+        pool array)."""
+        BS = self.kv_block_size
+        nb = self._blocks_needed(prompt_len)
+        blk_ids = [self._free_blocks.pop() for _ in range(nb)]
+        self._slot_blocks[b] = blk_ids
+        self._tables[b, :] = blk_ids[-1]  # clamp-safe filler
+        self._tables[b, :nb] = blk_ids
+        self._tables_dirty = True
+        ids_dev = jnp.asarray(blk_ids, jnp.int32)
+
+        def pack(pool, one):
+            # one: [L, n, KVH, pad_len(, hd)] -> blocks [L, nb, KVH, BS(, hd)]
+            sl = one[:, row]
+            L_, KVH = sl.shape[0], sl.shape[1]
+            rest = sl.shape[3:]
+            blocks = sl[:, :, : nb * BS].reshape(L_, KVH, nb, BS, *rest)
+            blocks = jnp.moveaxis(blocks, 2, 1)  # [L, nb, KVH, BS, ...]
+            return _scatter_blocks(pool, blocks, ids_dev)
+
+        new_cache = dict(
+            k=pack(self.cache.k, cache_n.k),
+            v=pack(self.cache.v, cache_n.v),
+            k_scale=self.cache.k_scale,
+            v_scale=self.cache.v_scale,
+            tables=self.cache.tables,
+        )
+        if self.cache.k_scale is not None:
+            new_cache["k_scale"] = pack(self.cache.k_scale, cache_n.k_scale)
+            new_cache["v_scale"] = pack(self.cache.v_scale, cache_n.v_scale)
+        self.cache = L.PagedKVCache(**new_cache)
 
     def has_work(self) -> bool:
         return bool(self.slots) or bool(self._pending) or bool(self._inflight)
@@ -488,10 +587,9 @@ class ContinuousBatchingEngine:
         """Dispatch one decode chunk (if any slot is live) and host-process
         the oldest in-flight chunk once ``pipeline_depth`` chunks are in
         flight.  Returns requests that finished this step."""
+        self._admit()
         if not self.slots and not self._inflight:
-            self._admit()
-            if not self.slots:
-                return []
+            return []
         if self.slots:
             self._dispatch_chunk()
         finished: List[GenerationResult] = []

@@ -99,6 +99,20 @@ def test_max_new_tokens_one(setup):
         assert r.tokens == f.tokens[:1]
 
 
+def test_grouped_prefill_matches_single(setup):
+    """A burst of same-bucket admissions runs as one batched prefill; the
+    greedy token streams must be identical to trickled (one-by-one)
+    admissions, dense and paged."""
+    cfg, qparams = setup
+    prompts = [[1, 2, 3], [7, 8, 9], [4], [11, 12]]
+    for kw in ({}, {"kv_layout": "paged", "kv_block_size": 8}):
+        burst = ContinuousBatchingEngine(qparams, cfg, max_batch=4, max_len=64, **kw)
+        out_b = burst.generate(prompts, max_new_tokens=5)  # one _admit, grouped
+        trickle = ContinuousBatchingEngine(qparams, cfg, max_batch=1, max_len=64, **kw)
+        out_t = trickle.generate(prompts, max_new_tokens=5)  # one slot: singles
+        assert [r.tokens for r in out_b] == [r.tokens for r in out_t], kw
+
+
 def test_pipeline_depths_identical(setup):
     """Greedy token streams are identical at every pipeline depth (depth
     only changes when the host syncs, not what the device computes)."""
@@ -364,8 +378,10 @@ def test_paged_admission_reserves_first_decode_chunk(setup):
     # the first chunk; with a second request holding 1 block the first can
     # not start safely
     eng.add_request([1] * 15, max_new_tokens=4)
+    eng._admit()  # admission normally happens inside step()
     assert 0 in eng.slots  # 2 free blocks: admitted
     eng.add_request([2] * 15, max_new_tokens=4)
+    eng._admit()
     assert len(eng.slots) == 1 and len(eng._pending) == 1  # waits
     # decode never raises; the waiter admits after the first retires
     done = []

@@ -103,8 +103,12 @@ def main():
           f"(pool factor {pool:.2f}, n={total_tokens} tok, {steps} steps)",
           flush=True)
 
-    # device-only decode chunk time at full batch (host overhead excluded)
+    # device-only decode chunk time at full batch (host overhead excluded).
+    # Opt-in: the wrapping compile intermittently hangs the remote compile
+    # helper, blocking the chip long past this process's timeout.
     dev_chunk = None
+    if "--device-only" not in sys.argv:
+        return
     try:
         cache = eng.cache
         toks = jnp.zeros((bs,), jnp.int32)

@@ -54,21 +54,29 @@ def main():
     )
 
     rng = np.random.default_rng(1)
-    # warm: compile prefill buckets (16, 64) + decode chunk
+    prompts = [list(rng.integers(1, cfg.vocab_size, size=int(n)))
+               for n in rng.integers(8, 64, size=bs)]
+    # warm: compile single + grouped prefill buckets + decode chunk with the
+    # same burst shape the measurement uses (first-time XLA compiles are
+    # 20-60 s on this stack and must not pollute the admission number)
     eng.add_request(list(rng.integers(1, cfg.vocab_size, size=12)), max_new_tokens=4)
     eng.add_request(list(rng.integers(1, cfg.vocab_size, size=40)), max_new_tokens=4)
+    while eng.has_work():
+        eng.step()
+    for p in prompts:
+        eng.add_request(p, max_new_tokens=2)
     while eng.has_work():
         eng.step()
     print("warm done", flush=True)
 
     # phase 1: admission cost, full batch (prompts span both buckets)
-    prompts = [list(rng.integers(1, cfg.vocab_size, size=int(n)))
-               for n in rng.integers(8, 64, size=bs)]
     t0 = time.perf_counter()
     for p in prompts:
         eng.add_request(p, max_new_tokens=10_000)  # never finishes in this run
+    eng._admit()  # grouped batched prefill (normally runs inside step())
     t_admit = time.perf_counter() - t0
-    print(f"admit x{bs}: {t_admit*1e3:.1f} ms total, {t_admit/bs*1e3:.1f} ms/req", flush=True)
+    print(f"admit x{bs} (grouped): {t_admit*1e3:.1f} ms total, "
+          f"{t_admit/bs*1e3:.1f} ms/req", flush=True)
 
     # phase 2: steady-state decode steps (no admissions, no retirements)
     eng.step()  # settle
@@ -107,7 +115,12 @@ def main():
     print(f"dispatch+sync only: {t_chunk*1e3:.1f} ms/chunk "
           f"(host python in step(): {(t_step-t_chunk)*1e3:.1f} ms)", flush=True)
 
-    # phase 3: device-only chunk cost via the hoist-proof loop
+    # phase 3 (opt-in --device-only): device-only chunk cost via the
+    # hoist-proof loop.  The wrapping compile intermittently hangs the
+    # remote compile helper and blocks the chip for everyone — run it only
+    # when explicitly asked.
+    if "--device-only" not in sys.argv:
+        return
     try:
         from bitsandbytes_tpu.utils.benchmark import device_loop_time
         leaves, treedef = jax.tree_util.tree_flatten(eng.cache)

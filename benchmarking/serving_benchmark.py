@@ -76,10 +76,16 @@ def main():
     prompts = [list(rng.integers(1, cfg.vocab_size, size=int(n)))
                for n in rng.integers(8, 64, size=n_req)]
 
-    # warm (compile all bucket programs + decode chunk)
+    # warm (compile all bucket programs — single AND grouped prefills —
+    # plus the decode chunk; first-time XLA compiles are 20-60 s on this
+    # stack and must not land inside the measured loop)
     eng.add_request(prompts[0], max_new_tokens=4)
     while not eng.step():
         pass
+    for p in prompts:
+        eng.add_request(p, max_new_tokens=2)
+    while eng.has_work():
+        eng.step()
 
     t0 = time.time()
     for p in prompts:

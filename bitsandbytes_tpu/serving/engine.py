@@ -26,6 +26,7 @@ TPU-native serving slice from BASELINE.json configs #3/#5.
 from __future__ import annotations
 
 import dataclasses
+import time
 from collections import deque
 from functools import partial
 from typing import Any, Deque, Dict, List, Optional, Tuple
@@ -45,6 +46,12 @@ class GenerationResult:
     prompt: List[int]
     tokens: List[int]
     finished_reason: str  # "eos" | "length"
+    # host-observed latency metrics: submission -> first token visible to
+    # the host, and submission -> completion.  With pipelined chunks the
+    # host OBSERVES tokens up to pipeline_depth-1 chunks after the device
+    # produced them, so these are serving latencies, not device times.
+    ttft_s: float = 0.0
+    total_s: float = 0.0
 
 
 @dataclasses.dataclass
@@ -55,6 +62,8 @@ class _Slot:
     temperature: float = 0.0
     top_p: float = 1.0
     tokens: List[int] = dataclasses.field(default_factory=list)
+    submit_t: float = 0.0
+    first_t: float = 0.0
 
 
 _DEFAULT_POOL = 64  # default sampling candidate pool (static shape)
@@ -374,7 +383,8 @@ class ContinuousBatchingEngine:
                     f"chunk but the pool only has {self.num_kv_blocks}"
                 )
         self._pending.append(
-            _Slot(rid, list(prompt_ids), max_new_tokens, temperature, top_p)
+            _Slot(rid, list(prompt_ids), max_new_tokens, temperature, top_p,
+                  submit_t=time.monotonic())
         )
         # admission happens at the next step() (single-threaded callers
         # cannot observe the difference, and queued bursts group into
@@ -687,6 +697,18 @@ class ContinuousBatchingEngine:
         fetch = jnp.concatenate([tokens[None], chunk], axis=0) if pend else chunk
         self._inflight.append((fetch, pend, smap))
 
+    @staticmethod
+    def _result(req: _Slot, reason: str) -> GenerationResult:
+        now = time.monotonic()
+        return GenerationResult(
+            request_id=req.request_id,
+            prompt=req.prompt,
+            tokens=req.tokens,
+            finished_reason=reason,
+            ttft_s=(req.first_t or now) - req.submit_t,
+            total_s=now - req.submit_t,
+        )
+
     def _process_oldest(self) -> List[GenerationResult]:
         """Host-process the oldest in-flight chunk: fetch tokens (ONE sync),
         append to requests, retire finished ones.  Token attribution is
@@ -704,6 +726,7 @@ class ContinuousBatchingEngine:
                 if req is None or req.request_id != rid:
                     continue  # unreachable in FIFO order; guard regardless
                 tok = int(tok)
+                req.first_t = time.monotonic()
                 req.tokens.append(tok)
                 done_eos = self.eos_id is not None and tok == self.eos_id
                 done_len = (
@@ -712,14 +735,7 @@ class ContinuousBatchingEngine:
                 )
                 if done_eos or done_len:
                     dead_on_first.add(b)
-                    finished.append(
-                        GenerationResult(
-                            request_id=req.request_id,
-                            prompt=req.prompt,
-                            tokens=req.tokens,
-                            finished_reason="eos" if done_eos else "length",
-                        )
-                    )
+                    finished.append(self._result(req, "eos" if done_eos else "length"))
 
         S = chunk.shape[0]
         for b, rid in smap.items():
@@ -744,14 +760,7 @@ class ContinuousBatchingEngine:
                 if done_eos or done_len:
                     break
             if done_eos or done_len:
-                finished.append(
-                    GenerationResult(
-                        request_id=req.request_id,
-                        prompt=req.prompt,
-                        tokens=req.tokens,
-                        finished_reason="eos" if done_eos else "length",
-                    )
-                )
+                finished.append(self._result(req, "eos" if done_eos else "length"))
                 self._retire(b)
         return finished
 

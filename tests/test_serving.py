@@ -99,6 +99,15 @@ def test_max_new_tokens_one(setup):
         assert r.tokens == f.tokens[:1]
 
 
+def test_latency_metrics(setup):
+    """Results carry host-observed TTFT and total latency."""
+    cfg, qparams = setup
+    eng = ContinuousBatchingEngine(qparams, cfg, max_batch=2, max_len=64)
+    results = eng.generate([[1, 2, 3], [9, 8]], max_new_tokens=4)
+    for r in results:
+        assert 0 < r.ttft_s <= r.total_s, (r.ttft_s, r.total_s)
+
+
 def test_grouped_prefill_matches_single(setup):
     """A burst of same-bucket admissions runs as one batched prefill; the
     greedy token streams must be identical to trickled (one-by-one)

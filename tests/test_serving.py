@@ -99,6 +99,20 @@ def test_max_new_tokens_one(setup):
         assert r.tokens == f.tokens[:1]
 
 
+def test_engine_reuse_across_generate_calls(setup):
+    """A second generate() on the same engine (all slots retired, stale
+    chained-token state) produces the same tokens as a fresh engine."""
+    cfg, qparams = setup
+    prompts = [[1, 2, 3], [9, 8]]
+    eng = ContinuousBatchingEngine(qparams, cfg, max_batch=2, max_len=64)
+    first = eng.generate(prompts, max_new_tokens=4)
+    second = eng.generate(prompts, max_new_tokens=4)
+    fresh = ContinuousBatchingEngine(qparams, cfg, max_batch=2, max_len=64)
+    ref = fresh.generate(prompts, max_new_tokens=4)
+    assert [r.tokens for r in second] == [r.tokens for r in ref]
+    assert [r.tokens for r in first] == [r.tokens for r in ref]
+
+
 def test_latency_metrics(setup):
     """Results carry host-observed TTFT and total latency."""
     cfg, qparams = setup

@@ -99,6 +99,44 @@ def test_max_new_tokens_one(setup):
         assert r.tokens == f.tokens[:1]
 
 
+@pytest.mark.parametrize(
+    "over",
+    [dict(sliding_window=8), dict(attn_bias=True),
+     dict(act="gelu", norm_plus_one=True, scale_embed=True)],
+    ids=["mistral", "qwen2", "gemma"],
+)
+def test_engine_serves_model_families(over):
+    """The engine serves Mistral/Qwen2/Gemma-style configs (sliding window,
+    attention bias, gelu/norm+1): tokens match the naive full-forward
+    reference."""
+    cfg = L.LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64, **over,
+    )
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = L.quantize_params_4bit(params)
+    eng = ContinuousBatchingEngine(qparams, cfg, max_batch=2, max_len=64)
+    prompts = [[1, 2, 3], [7, 8, 9, 10]]
+    results = eng.generate(prompts, max_new_tokens=4)
+    for r, p in zip(results, prompts):
+        expect = naive_greedy(qparams, cfg, p, 4)
+        if r.tokens == expect:
+            continue
+        # bf16 argmax near-ties can flip between the loop-compiled chunk
+        # program and the per-step reference (benign reassociation);
+        # accept a divergence only if the reference's top-2 logit gap at
+        # the first mismatch is within 2 bf16 ULPs
+        k = next(i for i, (a, b) in enumerate(zip(r.tokens, expect)) if a != b)
+        ids = p + expect[:k]
+        padded = ids + [0] * (32 - len(ids))
+        logits, _ = L.forward(qparams, jnp.asarray([padded], jnp.int32), cfg)
+        l = np.asarray(logits[0, len(ids) - 1], np.float32)
+        gap = abs(float(l[expect[k]]) - float(l[r.tokens[k]]))
+        import math
+        ulp = 2.0 ** (math.floor(math.log2(max(abs(float(l[expect[k]])), 1e-9))) - 7)
+        assert gap <= 2 * ulp, (over, k, gap, ulp)
+
+
 def test_engine_reuse_across_generate_calls(setup):
     """A second generate() on the same engine (all slots retired, stale
     chained-token state) produces the same tokens as a fresh engine."""

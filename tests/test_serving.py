@@ -174,6 +174,20 @@ def test_grouped_prefill_matches_single(setup):
         assert [r.tokens for r in out_b] == [r.tokens for r in out_t], kw
 
 
+def test_grouped_sampled_admission_deterministic(setup):
+    """A burst of SAMPLED requests admits through the batched-prefill path
+    (group key): tokens are valid and reproducible under a fixed seed."""
+    cfg, qparams = setup
+    prompts = [[1, 2, 3], [7, 8, 9], [4, 5]]
+    outs = []
+    for _ in range(2):
+        eng = ContinuousBatchingEngine(qparams, cfg, max_batch=4, max_len=64, seed=3)
+        rs = eng.generate(prompts, max_new_tokens=5, temperature=0.9, top_p=0.9)
+        assert all(0 <= t < cfg.vocab_size for r in rs for t in r.tokens)
+        outs.append([r.tokens for r in rs])
+    assert outs[0] == outs[1]
+
+
 def test_pipeline_depths_identical(setup):
     """Greedy token streams are identical at every pipeline depth (depth
     only changes when the host syncs, not what the device computes)."""

@@ -107,15 +107,58 @@ class QuantState:
                 return self.absmax.T.reshape(-1)  # [K/bs, N] -> flat [N*K/bs]
             return self.absmax.reshape(-1)
         from .blockwise import dequantize_blockwise_with_code
-
-        absmax = dequantize_blockwise_with_code(
-            self.absmax,
-            self.state2.absmax,
-            self.state2.code,
-            self.state2.blocksize,
-            jnp.float32,
+        from .codebooks import create_dynamic_map
+        from ..ops import dispatch as _dispatch
+        from ..ops.pallas.blockwise8 import (
+            dequantize_blockwise_pallas,
+            pallas_blockwise8_supported,
         )
-        return (absmax + self.offset).reshape(-1)
+
+        # state2's code is the canonical dynamic map for every state this
+        # library produces (quantize_4bit/quantize_blockwise hardcode it,
+        # reference functional.py:938-951) and for reference-interop
+        # checkpoints.  The Pallas select-tree dequant (bit-exact vs the
+        # oracle) is invoked DIRECTLY with the static code tuple — the
+        # blockwise dispatcher's concreteness check cannot pass under jit
+        # (jnp.asarray lifts even compile-time-constant tables to tracers
+        # at trace time), so routing through it silently fell to XLA's
+        # 256-entry gather lowering: measured 116.7 ms/step on NF4+DQ
+        # decode, 27x plain NF4.  A concrete NON-canonical map falls back
+        # to the exact oracle path; under jit the leaf is a tracer and the
+        # canonical map is assumed.
+        code = self.state2.code
+        canonical = True
+        if not isinstance(code, jax.core.Tracer):
+            canonical = np.array_equal(
+                np.asarray(code, np.float32),
+                np.asarray(create_dynamic_map(), np.float32),
+            )
+        n = int(self.absmax.size)
+        if (
+            canonical
+            and _dispatch.use_pallas()
+            and n % self.state2.blocksize == 0
+            and pallas_blockwise8_supported(n, self.state2.blocksize)
+        ):
+            code_t = tuple(
+                float(x) for x in np.asarray(create_dynamic_map()).reshape(-1)[:256]
+            )
+            absmax = dequantize_blockwise_pallas(
+                self.absmax.reshape(-1),
+                self.state2.absmax.reshape(-1),
+                code_t=code_t,
+                blocksize=self.state2.blocksize,
+                dtype="float32",
+            )
+        else:
+            absmax = dequantize_blockwise_with_code(
+                self.absmax,
+                self.state2.absmax,
+                code,
+                self.state2.blocksize,
+                jnp.float32,
+            )
+        return (absmax.reshape(-1) + self.offset)
 
     def dequant_absmax_t(self) -> jax.Array:
         """Per-block absmax in the fused kernel's transposed orientation

@@ -15,6 +15,7 @@ Semantics (SURVEY.md §8.4-8.6):
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import Optional, Tuple
 
@@ -86,18 +87,32 @@ def dequantize_blockwise_with_code(
     return out.reshape(-1)[:n].reshape(A.shape).astype(dtype)
 
 
+def _concrete_code(code):
+    """The codebook as a host numpy array, or None if traced.  NB: testing
+    ``isinstance(jnp.asarray(code), Tracer)`` is WRONG under jit — at trace
+    time jnp.asarray lifts even numpy constants to tracers, which silently
+    sent every jitted call down the gather path (the NF4+DQ 27x decode
+    bug).  np.asarray raises on true tracers and passes constants."""
+    import jax.core
+
+    if isinstance(code, jax.core.Tracer):
+        return None
+    try:
+        return np.asarray(code)
+    except Exception:
+        return None
+
+
 def _pallas_ok(code, n, blocksize) -> bool:
     """Route to the select-tree Pallas kernels on TPU: XLA's 256-entry LUT
     gather lowering is ~1000x too slow (measured 655 ms per 64M-element
     dequant on v5e).  Requires a concrete (non-traced) codebook."""
-    import jax.core
-
     from ..ops import dispatch
     from ..ops.pallas.blockwise8 import pallas_blockwise8_supported
 
     return (
         dispatch.use_pallas()
-        and not isinstance(jnp.asarray(code), jax.core.Tracer)
+        and _concrete_code(code) is not None
         and n % blocksize == 0
         and pallas_blockwise8_supported(n, blocksize)
     )
@@ -112,6 +127,9 @@ def _quantize_dispatch(A, code, blocksize):
     return quantize_blockwise_with_code(A, code, blocksize)
 
 
+_warned_traced_code = False
+
+
 def _dequantize_dispatch(A, absmax, code, blocksize, dtype):
     if _pallas_ok(code, A.size, blocksize):
         from ..ops.pallas.blockwise8 import dequantize_blockwise_pallas
@@ -119,6 +137,17 @@ def _dequantize_dispatch(A, absmax, code, blocksize, dtype):
         code_t = tuple(float(x) for x in np.asarray(code).reshape(-1)[:256])
         return dequantize_blockwise_pallas(
             A, absmax, code_t=code_t, blocksize=blocksize, dtype=jnp.dtype(dtype).name
+        )
+    global _warned_traced_code
+    from ..ops import dispatch as _dispatch
+
+    if _dispatch.use_pallas() and _concrete_code(code) is None and not _warned_traced_code:
+        _warned_traced_code = True
+        logging.getLogger(__name__).warning(
+            "dequantize_blockwise: codebook is a traced value (QuantState "
+            "passed through jit), forcing XLA's 256-entry gather lowering "
+            "(~1000x slower than the select-tree kernel on TPU).  Dequantize "
+            "outside jit, or pass the concrete code array."
         )
     return dequantize_blockwise_with_code(A, absmax, code, blocksize, dtype)
 
@@ -166,7 +195,9 @@ def quantize_blockwise(
     if blocksize not in VALID_BLOCKSIZES:
         raise ValueError(f"blocksize {blocksize} not in {VALID_BLOCKSIZES}")
     if code is None:
-        code = jnp.asarray(create_dynamic_map())
+        # numpy, NOT jnp.asarray: under jit the lifted constant would look
+        # like a tracer to the dispatcher and lose the Pallas route
+        code = create_dynamic_map()
     q, absmax = _quantize_dispatch(A, code, blocksize)
     if stochastic_key is not None:
         q = _stochastic_requant(A, code, q, blocksize, stochastic_key)
@@ -184,7 +215,7 @@ def quantize_blockwise(
         )
         state = QuantState(
             absmax=q_absmax,
-            code=code,
+            code=jnp.asarray(code),
             blocksize=blocksize,
             quant_type="8bit",
             dtype=A.dtype,
@@ -195,7 +226,7 @@ def quantize_blockwise(
     else:
         state = QuantState(
             absmax=absmax,
-            code=code,
+            code=jnp.asarray(code),
             blocksize=blocksize,
             quant_type="8bit",
             dtype=A.dtype,
@@ -219,7 +250,7 @@ def dequantize_blockwise(
         blocksize = quant_state.blocksize
         dtype = quant_state.dtype
     if code is None:
-        code = jnp.asarray(create_dynamic_map())
+        code = create_dynamic_map()  # numpy: see quantize_blockwise
     if absmax is None:
         raise ValueError("either quant_state or absmax must be provided")
     out = _dequantize_dispatch(A, absmax, code, blocksize, dtype)

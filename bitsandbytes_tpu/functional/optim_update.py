@@ -21,6 +21,8 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
+import logging
+
 import jax
 import jax.numpy as jnp
 
@@ -291,6 +293,7 @@ def optimizer_update_32bit(
 # would pull 256 floats to the host and rebuild the static-key tuple.
 # Bounded: callers that rebuild qmap arrays per step would otherwise leak
 # one device array + tuple per optimizer call over a long training run.
+_warned_traced_qmap = False
 _code_tuple_cache: dict = {}
 _CODE_CACHE_MAX = 64
 
@@ -390,6 +393,16 @@ def optimizer_update_8bit_blockwise(
         return _optimizer_update_8bit_seg(
             optimizer_name, g, p, state1, state2, absmax1, absmax2,
             code1_t=code1_t, code2_t=code2_t, fixup=apply_sign_fixup, **kwargs,
+        )
+    global _warned_traced_qmap
+    if not _warned_traced_qmap:
+        _warned_traced_qmap = True
+        logging.getLogger(__name__).warning(
+            "optimizer_update_8bit_blockwise: qmaps are traced values, "
+            "forcing the gather-based oracle path (~200x slower on TPU).  "
+            "Pass the module-level qmap constants (optim/base.py closes "
+            "over them, which keeps them concrete even under jit) instead "
+            "of threading qmaps through jit arguments."
         )
     return _optimizer_update_8bit_jnp(
         optimizer_name, g, p, state1, state2, qmap1, qmap2, absmax1, absmax2,

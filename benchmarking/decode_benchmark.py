@@ -39,27 +39,28 @@ def main():
         print(f"{name:8s}: {s*1e3:7.3f} ms/step  {bs/s:9.1f} tok/s (bs={bs})")
 
 
-def main_full_model():
-    """FULL 32-layer Llama-3-8B NF4 decode (absolute tok/s; the 4-bit model
+def main_full_model(fmt: str = "nf4"):
+    """FULL 32-layer Llama-3-8B decode (absolute tok/s; the quantized model
     fits a single v5e chip — a bf16 copy would not, which is why the
     headline ratio bench uses layer-scaled geometry).  Reference absolute
-    comparison points (benchmarking/README.md:91-101, H100 80GB): NF4 bs=1
-    30.14 tok/s, bs=8 168.05, bs=32 658.65."""
+    comparison points (benchmarking/README.md:91-103, H100 80GB): NF4 bs=1/
+    8/32 30.14 / 168.05 / 658.65 tok/s; INT8 19.17 / 155.44 / 586.26."""
     if jax.default_backend() in ("cpu", "gpu"):
         print("full-model bench requires the TPU chip")
         return
     cfg = L.LlamaConfig.llama3_8b(num_layers=32)
     cache_len = 256
     # init + quantize ONE layer at a time: the full bf16 model (16 GB) does
-    # not fit the chip; the NF4 model (~4.7 GB) does
+    # not fit the chip; the NF4 (~4.7 GB) and int8 (~8 GB) models do
     cfg1 = L.LlamaConfig.llama3_8b(num_layers=1)
     qlayers = []
     for i in range(cfg.num_layers):
         p1 = L.init_params(jax.random.PRNGKey(i), cfg1)
-        ql = L.quantize_params_4bit(
-            {"layers": p1["layers"], "embed": None, "final_norm": None, "lm_head": None},
-            quant_type="nf4", blocksize=64, fuse=True,
-        )["layers"][0]
+        shell = {"layers": p1["layers"], "embed": None, "final_norm": None, "lm_head": None}
+        if fmt == "nf4":
+            ql = L.quantize_params_4bit(shell, quant_type="nf4", blocksize=64, fuse=True)["layers"][0]
+        else:
+            ql = L.quantize_params_int8(shell)["layers"][0]
         jax.block_until_ready(jax.tree_util.tree_leaves(ql))
         if i == 0:
             head = {k: p1[k] for k in ("embed", "final_norm", "lm_head")}
@@ -81,11 +82,12 @@ def main_full_model():
             step, (tok, cache.k, cache.v), iters=10, const_args=(qparams,)
         )
         del cache
-        print(f"nf4 32-layer bs={bs:2d}: {s*1e3:7.3f} ms/step  {bs/s:9.1f} tok/s")
+        print(f"{fmt} 32-layer bs={bs:2d}: {s*1e3:7.3f} ms/step  {bs/s:9.1f} tok/s",
+              flush=True)
 
 
 if __name__ == "__main__":
     if "--full" in sys.argv:
-        main_full_model()
+        main_full_model("int8" if "--int8" in sys.argv else "nf4")
     else:
         main()

@@ -59,6 +59,16 @@ def main_full_model(fmt: str = "nf4"):
         shell = {"layers": p1["layers"], "embed": None, "final_norm": None, "lm_head": None}
         if fmt == "nf4":
             ql = L.quantize_params_4bit(shell, quant_type="nf4", blocksize=64, fuse=True)["layers"][0]
+        elif fmt in ("nf4-dq", "nf4-dq-resolved"):
+            ql = L.quantize_params_4bit(
+                shell, quant_type="nf4", blocksize=64, fuse=True,
+                compress_statistics=True,
+            )["layers"][0]
+            if fmt == "nf4-dq-resolved":
+                # materialize the DQ absmax once at load (QuantizedTensor.
+                # resolve_nested): runtime == plain NF4, +1/32 weight bytes
+                ql = {k: (v.resolve_nested() if hasattr(v, "resolve_nested") else v)
+                      for k, v in ql.items()}
         else:
             ql = L.quantize_params_int8(shell)["layers"][0]
         jax.block_until_ready(jax.tree_util.tree_leaves(ql))
@@ -88,6 +98,12 @@ def main_full_model(fmt: str = "nf4"):
 
 if __name__ == "__main__":
     if "--full" in sys.argv:
-        main_full_model("int8" if "--int8" in sys.argv else "nf4")
+        if "--int8" in sys.argv:
+            fmt = "int8"
+        elif "--dq" in sys.argv:
+            fmt = "nf4-dq-resolved" if "--resolve" in sys.argv else "nf4-dq"
+        else:
+            fmt = "nf4"
+        main_full_model(fmt)
     else:
         main()

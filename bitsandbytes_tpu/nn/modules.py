@@ -109,6 +109,16 @@ class QuantizedTensor:
     def dequantize(self) -> jax.Array:
         return dequantize_4bit(self.data, quant_state=self.state)
 
+    def resolve_nested(self) -> "QuantizedTensor":
+        """Materialize a double-quantized (compress_statistics) state's
+        absmax to float32 once, so matmuls stop paying a per-call nested
+        dequant (QuantState.resolve_nested — DQ runtime throughput becomes
+        identical to plain NF4 at +1/32 weight bytes).  No-op when not
+        nested."""
+        if not self.state.nested:
+            return self
+        return QuantizedTensor(data=self.data, state=self.state.resolve_nested())
+
     def to_layout(self, layout: str) -> "QuantizedTensor":
         """Relayout the packed payload between ``flat``/``2d`` (reference-
         interop K-adjacent byte order) and ``paired`` (the TPU decode-kernel

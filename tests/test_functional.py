@@ -268,6 +268,37 @@ def test_nested_absmax_dequant_routes_to_kernel_under_jit(monkeypatch):
     np.testing.assert_allclose(out, ref, rtol=3e-7, atol=0)
 
 
+def test_resolve_nested_bit_identical():
+    """QuantState.resolve_nested materializes the DQ absmax once: the
+    resolved (non-nested) state dequantizes and matmuls BIT-identically to
+    the nested state, and serializes as the plain non-nested format."""
+    W = jnp.asarray(np.random.randn(64, 512).astype(np.float32))
+    for layout in ("2d", "paired"):
+        packed, st = F.quantize_4bit(
+            W, compress_statistics=True, blocksize=64, layout=layout
+        )
+        rs = st.resolve_nested()
+        assert not rs.nested and rs.layout == layout
+        np.testing.assert_array_equal(
+            np.asarray(F.dequantize_4bit(packed, quant_state=st)),
+            np.asarray(F.dequantize_4bit(packed, quant_state=rs)),
+        )
+        A = jnp.asarray(np.random.randn(4, 512).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(F.gemm_4bit(A, packed, st)),
+            np.asarray(F.gemm_4bit(A, packed, rs)),
+        )
+        assert "nested_absmax" not in rs.as_dict()
+    # QuantizedTensor wrapper
+    from bitsandbytes_tpu.nn import QuantizedTensor
+
+    qt = QuantizedTensor.quantize(W, compress_statistics=True)
+    rqt = qt.resolve_nested()
+    np.testing.assert_array_equal(
+        np.asarray(qt.dequantize()), np.asarray(rqt.dequantize())
+    )
+
+
 def test_mid_m_crossover_table(monkeypatch):
     """Route selection (VERDICT r2 item 9): the per-shape crossover table
     decides fused vs dequant+MXU; BNB_LARGE_M overrides everything."""

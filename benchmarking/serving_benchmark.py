@@ -46,6 +46,9 @@ def main():
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     cfg = L.LlamaConfig.llama3_8b(num_layers=4) if on_tpu else L.LlamaConfig.tiny()
     bs, max_len, n_req, new_tok = (16, 512, 48, 64) if on_tpu else (4, 64, 6, 8)
+    if os.environ.get("BNB_SERVE_BS"):
+        bs = int(os.environ["BNB_SERVE_BS"])
+        n_req = 3 * bs
 
     params = L.init_params(jax.random.PRNGKey(0), cfg)
     if on_tpu:

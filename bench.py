@@ -90,17 +90,36 @@ def main():
     # policy: median ± {min, max, n}, never the best observed run).
     q8params = L.quantize_params_int8(params)
     jax.block_until_ready(jax.tree_util.tree_leaves(q8params))
+    # runtime-DQ variant (nested absmax decoded INSIDE the fused kernel):
+    # quantized layer-by-layer like nf4 above
+    dqlayers = []
+    for layer in params["layers"]:
+        dql = L.quantize_params_4bit(
+            {"layers": [layer], "embed": None, "final_norm": None, "lm_head": None},
+            quant_type="nf4",
+            blocksize=64,
+            fuse=True,
+            compress_statistics=True,
+        )["layers"][0]
+        jax.block_until_ready(jax.tree_util.tree_leaves(dql))
+        dqlayers.append(dql)
+    dqparams = dict(params)
+    dqparams["layers"] = dqlayers
     n_passes = 3 if on_tpu else 2
-    bf16_s, nf4_s, int8_s, r_nf4, r_int8 = [], [], [], [], []
+    bf16_s, nf4_s, int8_s, dq_s = [], [], [], []
+    r_nf4, r_int8, r_dq = [], [], []
     for _ in range(n_passes):
         b = _time_decode(params, cfg, bs, cache_len, iters)
         n = _time_decode(qparams, cfg, 2 * bs, cache_len, iters)
         i8 = _time_decode(q8params, cfg, 2 * bs, cache_len, iters)
+        dq = _time_decode(dqparams, cfg, 2 * bs, cache_len, iters)
         bf16_s.append(b)
         nf4_s.append(n)
         int8_s.append(i8)
+        dq_s.append(dq)
         r_nf4.append(n / b)
         r_int8.append(i8 / b)
+        r_dq.append(dq / n)  # DQ vs plain NF4: the in-kernel nested-decode cost
 
     def med(xs):
         return sorted(xs)[len(xs) // 2]
@@ -134,6 +153,37 @@ def main():
         step_bytes = num_layers * (w_layer + kv_bytes(batch)) + lm_head_bytes
         return round(sol_fraction(batch / tok_s, step_bytes), 4)
 
+    detail = {
+        "ratio": spread(r_nf4, 4),
+        "bf16_tok_s": spread(bf16_s),
+        "nf4_tok_s_2xbatch": spread(nf4_s),
+        "int8_tok_s_2xbatch": spread(int8_s),
+        "nf4_dq_tok_s_2xbatch": spread(dq_s),
+        "int8_ratio_2xbatch": spread(r_int8, 4),
+        "dq_vs_nf4_ratio": spread(r_dq, 4),
+        "sol_bf16": sol(bf16_tok_s, bs, w_bf16),
+        "sol_nf4": sol(nf4_tok_s, 2 * bs, w_nf4),
+        "sol_int8": sol(int8_tok_s, 2 * bs, w_int8),
+        "num_layers": num_layers,
+        "batch_bf16": bs,
+        "batch_nf4": 2 * bs,
+        "backend": jax.default_backend(),
+    }
+
+    # Full 32-layer model medians (nf4/int8/nf4-dq at bs=1/8/32, n>=3
+    # interleaved passes + canary): measured by
+    # benchmarking/full_model_medians.py — a ~15-minute on-chip run that
+    # does not fit this script's driver budget — and folded in from its
+    # FULLMODEL.json artifact with its measurement timestamp as provenance.
+    import os
+
+    fm_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "FULLMODEL.json")
+    if os.path.exists(fm_path):
+        try:
+            detail["full_model"] = json.load(open(fm_path))
+        except Exception:
+            pass
+
     print(
         json.dumps(
             {
@@ -141,20 +191,7 @@ def main():
                 "value": round(ratio, 4),
                 "unit": "ratio",
                 "vs_baseline": round(ratio / 0.85, 4),
-                "detail": {
-                    "ratio": spread(r_nf4, 4),
-                    "bf16_tok_s": spread(bf16_s),
-                    "nf4_tok_s_2xbatch": spread(nf4_s),
-                    "int8_tok_s_2xbatch": spread(int8_s),
-                    "int8_ratio_2xbatch": spread(r_int8, 4),
-                    "sol_bf16": sol(bf16_tok_s, bs, w_bf16),
-                    "sol_nf4": sol(nf4_tok_s, 2 * bs, w_nf4),
-                    "sol_int8": sol(int8_tok_s, 2 * bs, w_int8),
-                    "num_layers": num_layers,
-                    "batch_bf16": bs,
-                    "batch_nf4": 2 * bs,
-                    "backend": jax.default_backend(),
-                },
+                "detail": detail,
             }
         )
     )

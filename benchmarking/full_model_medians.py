@@ -1,0 +1,128 @@
+"""Full 32-layer Llama-3-8B decode medians (driver-grade): nf4 / int8 /
+nf4-dq at bs=1/8/32, n>=3 interleaved timing passes per format, bracketed
+by a bf16-matmul canary, written to FULLMODEL.json at the repo root.
+
+bench.py folds the file into its one-line JSON output (detail.full_model)
+so the round's BENCH_rNN.json carries the full-model numbers with spread
+(VERDICT r3 weak #5).  The three formats cannot be co-resident (nf4 4.7 GB
++ int8 8 GB + dq 4.8 GB > 16 GB), so interleaving is within-format with
+the canary recording cross-format pool drift.
+
+Reference comparison points (reference benchmarking/README.md:91-103,
+H100 80GB): NF4 30.14 / 168.05 / 658.65 tok/s at bs=1/8/32; INT8 19.17 /
+155.44 / 586.26; NF4+DQ 24.31 / 141.32 / 555.14.
+
+Run on the chip: python benchmarking/full_model_medians.py [--fmt nf4]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bitsandbytes_tpu.models import llama as L
+from bitsandbytes_tpu.utils.benchmark import device_loop_time
+
+OUT_PATH = os.path.join(os.path.dirname(__file__), "..", "FULLMODEL.json")
+FORMATS = ("nf4", "int8", "nf4-dq")
+BATCHES = (1, 8, 32)
+PASSES = 3
+CACHE_LEN = 256
+
+
+def build_model(fmt: str, cfg):
+    """Init + quantize layer-by-layer (the full bf16 model does not fit)."""
+    cfg1 = L.LlamaConfig.llama3_8b(num_layers=1)
+    qlayers = []
+    head = None
+    for i in range(cfg.num_layers):
+        p1 = L.init_params(jax.random.PRNGKey(i), cfg1)
+        shell = {"layers": p1["layers"], "embed": None, "final_norm": None, "lm_head": None}
+        if fmt == "nf4":
+            ql = L.quantize_params_4bit(shell, fuse=True)["layers"][0]
+        elif fmt == "nf4-dq":
+            # runtime DQ: nested absmax stays compressed, decoded in-kernel
+            ql = L.quantize_params_4bit(shell, fuse=True, compress_statistics=True)["layers"][0]
+        else:
+            ql = L.quantize_params_int8(shell)["layers"][0]
+        jax.block_until_ready(jax.tree_util.tree_leaves(ql))
+        if i == 0:
+            head = {k: p1[k] for k in ("embed", "final_norm", "lm_head")}
+            jax.block_until_ready(list(head.values()))
+        del p1
+        qlayers.append(ql)
+    return {**head, "layers": qlayers}
+
+
+def canary_time():
+    x = jnp.ones((512, 4096), jnp.bfloat16)
+    w = jnp.ones((4096, 4096), jnp.bfloat16)
+    return device_loop_time(lambda a, b: (a @ b).astype(jnp.bfloat16), (x, w), iters=20)
+
+
+def measure(fmt: str, cfg):
+    params = build_model(fmt, cfg)
+    rows = {bs: [] for bs in BATCHES}
+    canaries = []
+    for _ in range(PASSES):
+        canaries.append(canary_time())
+        for bs in BATCHES:
+            cache = L.init_kv_cache(cfg, bs, CACHE_LEN)
+            tok = jnp.zeros((bs,), jnp.int32)
+
+            def step(p, tok, k, v):
+                logits, c = L.decode_step(p, tok, cfg, L.KVCache(k, v), CACHE_LEN // 2)
+                return jnp.argmax(logits, -1).astype(jnp.int32), c.k, c.v
+
+            s = device_loop_time(step, (tok, cache.k, cache.v), iters=10, const_args=(params,))
+            del cache
+            rows[bs].append(bs / s)
+            print(f"  {fmt} bs={bs}: {bs/s:9.1f} tok/s", flush=True)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    return {
+        str(bs): {
+            "median": round(med(rows[bs]), 1),
+            "min": round(min(rows[bs]), 1),
+            "max": round(max(rows[bs]), 1),
+            "n": len(rows[bs]),
+        }
+        for bs in BATCHES
+    }, {"median_us": round(med(canaries) * 1e6, 1), "n": len(canaries)}
+
+
+def main():
+    if jax.default_backend() in ("cpu", "gpu"):
+        print("full-model medians require the TPU chip")
+        return
+    fmts = FORMATS
+    for a in sys.argv[1:]:
+        if a.startswith("--fmt="):
+            fmts = (a.split("=", 1)[1],)
+    cfg = L.LlamaConfig.llama3_8b(num_layers=32)
+    out = {}
+    if os.path.exists(OUT_PATH):
+        out = json.load(open(OUT_PATH))
+    results = out.setdefault("formats", {})
+    for fmt in fmts:
+        print(f"== {fmt} ==", flush=True)
+        rows, canary = measure(fmt, cfg)
+        results[fmt] = {"tok_s": rows, "canary": canary}
+        out["meta"] = {
+            "model": "llama3-8b 32-layer",
+            "batches": list(BATCHES),
+            "passes_interleaved_within_format": PASSES,
+            "cache_len": CACHE_LEN,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "note": "formats not co-resident (memory); canary records pool drift",
+        }
+        json.dump(out, open(OUT_PATH, "w"), indent=1)
+        print(json.dumps({fmt: results[fmt]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -152,8 +152,11 @@ def quantize_4bit(
 
     With ``compress_statistics`` the float32 absmax is itself blockwise-
     quantized (dynamic 8-bit code, blocksize 256) around its mean offset —
-    reference functional.py:938-951.  Nested absmax codes always stay in
-    flat block order (checkpoint interop), even for ``"paired"``.
+    reference functional.py:938-951.  In the ``"paired"`` layout the uint8
+    absmax codes are stored transposed ``[K/bs, N]`` like the f32 absmax
+    (the fused kernel decodes them in-kernel); the second-level 256-block
+    grouping stays defined on the flat canonical order, and serialization
+    canonicalizes the codes back to it.
     """
     if blocksize not in VALID_4BIT_BLOCKSIZES:
         raise ValueError(f"blocksize {blocksize} not in {VALID_4BIT_BLOCKSIZES}")
@@ -248,6 +251,12 @@ def _finish_quantize_4bit(
     if compress_statistics:
         offset = jnp.mean(absmax)
         q_absmax, state2 = quantize_blockwise(absmax - offset, blocksize=256)
+        if layout == "paired":
+            # kernel-native transposed orientation for the uint8 codes too
+            # (the in-kernel nested decode streams [K/bs, N] tiles); the
+            # second-level grouping stays defined on the FLAT canonical
+            # order, exactly as the reference (functional.py:938-951)
+            q_absmax = q_absmax.reshape(A.shape[0], A.shape[1] // blocksize).T
         state2 = QuantState(
             absmax=state2.absmax,
             code=state2.code,

@@ -79,6 +79,27 @@ def _warn_fallback(tag: str, M: int, N: int, K: int, blocksize: int) -> None:
     )
 
 
+def _inline_dq_ok(state: QuantState) -> bool:
+    """True when the nested (double-quantized) absmax can be decoded INSIDE
+    the fused paired kernel (no pre-pass, no f32 materialization — the
+    reference's in-register nested dequant, gemm_4bit_simt.cu:104-117):
+    paired layout, nested blocksize 256, canonical dynamic map.  A traced
+    code leaf is assumed canonical — every state this library or the
+    reference produces uses it (see QuantState.dequant_absmax)."""
+    if not (state.nested and state.layout == "paired"):
+        return False
+    if state.state2.blocksize != 256 or state.offset is None:
+        return False
+    code = state.state2.code
+    if isinstance(code, jax.core.Tracer):
+        return True
+    from .codebooks import create_dynamic_map
+
+    return np.array_equal(
+        np.asarray(code, np.float32), np.asarray(create_dynamic_map(), np.float32)
+    )
+
+
 def _dequant_matmul_fallback(A, B_packed, state: QuantState, bias):
     W = dequantize_4bit(B_packed, quant_state=state).astype(A.dtype)
     # XLA truncates f32 dots to bf16 under --xla_allow_excess_precision;
@@ -112,15 +133,20 @@ def gemm_4bit(
 
     if dispatch.use_pallas() and quant_state.layout == "paired":
         from ..ops.pallas.gemm4bit_paired import (
+            dequantize_paired_fast,
+            dequantize_paired_fast_dq,
             gemm_4bit_paired,
+            gemm_4bit_paired_dq,
+            paired_dequant_dq_supported,
+            paired_dequant_supported,
+            paired_gemm_dq_supported,
             paired_gemm_supported,
         )
-
         from .codebooks import get_4bit_code
-        from ..ops.pallas.gemm4bit_paired import (
-            dequantize_paired_fast,
-            paired_dequant_supported,
-        )
+
+        bs = quant_state.blocksize
+        code = get_4bit_code(quant_state.quant_type, bs)
+        inline_dq = _inline_dq_ok(quant_state)
 
         # Large-M (prefill/training) route: the fused kernel's decode/scale
         # work caps MXU utilization (~78 TFLOPs measured); materialize the
@@ -129,18 +155,27 @@ def gemm_4bit(
         if (
             M >= _large_m_crossover(N, K)
             and A.dtype == jnp.bfloat16
-            and paired_dequant_supported(N, K, quant_state.blocksize)
+            and paired_dequant_supported(N, K, bs)
         ):
-            W = dequantize_paired_fast(
-                B_packed.reshape(N // 2, K),
-                quant_state.dequant_absmax_t(),
-                code=tuple(
-                    float(x)
-                    for x in get_4bit_code(quant_state.quant_type, quant_state.blocksize)
-                ),
-                blocksize=quant_state.blocksize,
-                dtype=jnp.bfloat16,
-            )
+            code_t = tuple(float(x) for x in code)
+            if inline_dq and paired_dequant_dq_supported(N, K, bs):
+                W = dequantize_paired_fast_dq(
+                    B_packed.reshape(N // 2, K),
+                    quant_state.absmax,
+                    quant_state.state2.absmax,
+                    quant_state.offset,
+                    code=code_t,
+                    blocksize=bs,
+                    dtype=jnp.bfloat16,
+                )
+            else:
+                W = dequantize_paired_fast(
+                    B_packed.reshape(N // 2, K),
+                    quant_state.dequant_absmax_t(),
+                    code=code_t,
+                    blocksize=bs,
+                    dtype=jnp.bfloat16,
+                )
             out = jax.lax.dot_general(
                 A, W, (((A.ndim - 1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -149,19 +184,31 @@ def gemm_4bit(
                 out = out + bias
             return out
 
-        if paired_gemm_supported(M, N, K, quant_state.blocksize):
-            out = gemm_4bit_paired(
-                A,
-                B_packed.reshape(N // 2, K),
-                quant_state.dequant_absmax_t(),
-                code=get_4bit_code(quant_state.quant_type, quant_state.blocksize),
-                blocksize=quant_state.blocksize,
-                shapeB=(N, K),
-                # post-dot sub-dot scaling won or tied per-element expander
-                # scaling on every Llama decode shape in the on-device sweep
-                # (experiments/sweep_paired.py, v5e)
-                scale_mode="subdot",
-            )
+        if paired_gemm_supported(M, N, K, bs):
+            # post-dot sub-dot scaling won or tied per-element expander
+            # scaling on every Llama decode shape in the on-device sweep
+            # (experiments/sweep_paired.py, v5e)
+            if inline_dq and paired_gemm_dq_supported(M, N, K, bs):
+                out = gemm_4bit_paired_dq(
+                    A,
+                    B_packed.reshape(N // 2, K),
+                    quant_state.absmax,
+                    quant_state.state2.absmax,
+                    quant_state.offset,
+                    code=code,
+                    blocksize=bs,
+                    shapeB=(N, K),
+                )
+            else:
+                out = gemm_4bit_paired(
+                    A,
+                    B_packed.reshape(N // 2, K),
+                    quant_state.dequant_absmax_t(),
+                    code=code,
+                    blocksize=bs,
+                    shapeB=(N, K),
+                    scale_mode="subdot",
+                )
             if bias is not None:
                 out = out + bias
             return out
@@ -220,40 +267,68 @@ def gemm_4bit_grad_A(
     if dispatch.use_pallas() and quant_state.layout == "paired":
         from ..ops.pallas.gemm4bit_paired import (
             dequantize_paired_fast,
+            dequantize_paired_fast_dq,
             gemm_4bit_paired_nt,
+            gemm_4bit_paired_nt_dq,
+            paired_dequant_dq_supported,
             paired_dequant_supported,
+            paired_gemm_dq_supported,
             paired_gemm_nt_supported,
         )
         from .codebooks import get_4bit_code
+
+        bs = quant_state.blocksize
+        code = get_4bit_code(quant_state.quant_type, bs)
+        inline_dq = _inline_dq_ok(quant_state)
 
         # large-M training backward: materialize bf16 W once, full-depth dot
         if (
             M >= _large_m_crossover(N, K)
             and g.dtype == jnp.bfloat16
-            and paired_dequant_supported(N, K, quant_state.blocksize)
+            and paired_dequant_supported(N, K, bs)
         ):
-            W = dequantize_paired_fast(
-                B_packed.reshape(N // 2, K),
-                quant_state.dequant_absmax_t(),
-                code=tuple(
-                    float(x)
-                    for x in get_4bit_code(quant_state.quant_type, quant_state.blocksize)
-                ),
-                blocksize=quant_state.blocksize,
-                dtype=jnp.bfloat16,
-            )
+            code_t = tuple(float(x) for x in code)
+            if inline_dq and paired_dequant_dq_supported(N, K, bs):
+                W = dequantize_paired_fast_dq(
+                    B_packed.reshape(N // 2, K),
+                    quant_state.absmax,
+                    quant_state.state2.absmax,
+                    quant_state.offset,
+                    code=code_t,
+                    blocksize=bs,
+                    dtype=jnp.bfloat16,
+                )
+            else:
+                W = dequantize_paired_fast(
+                    B_packed.reshape(N // 2, K),
+                    quant_state.dequant_absmax_t(),
+                    code=code_t,
+                    blocksize=bs,
+                    dtype=jnp.bfloat16,
+                )
             return jax.lax.dot_general(
                 g, W, (((g.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(g.dtype)
 
-        if paired_gemm_nt_supported(M, N, K, quant_state.blocksize):
+        if paired_gemm_nt_supported(M, N, K, bs):
+            if inline_dq and paired_gemm_dq_supported(M, N, K, bs):
+                return gemm_4bit_paired_nt_dq(
+                    g,
+                    B_packed.reshape(N // 2, K),
+                    quant_state.absmax,
+                    quant_state.state2.absmax,
+                    quant_state.offset,
+                    code=code,
+                    blocksize=bs,
+                    shapeB=(N, K),
+                )
             return gemm_4bit_paired_nt(
                 g,
                 B_packed.reshape(N // 2, K),
                 quant_state.dequant_absmax_t(),
-                code=get_4bit_code(quant_state.quant_type, quant_state.blocksize),
-                blocksize=quant_state.blocksize,
+                code=code,
+                blocksize=bs,
                 shapeB=(N, K),
             )
 

@@ -32,9 +32,11 @@ class QuantState:
     Attributes:
       absmax: per-block scale.  float32 ``[nblocks]`` when not nested, or
         uint8 codes of the same shape when ``nested`` (double quantization).
-        In the ``"paired"`` layout (non-nested) it is stored *transposed*
-        ``[K/blocksize, N]`` — the fused kernel's native orientation, so no
-        per-call transpose copy is paid on the decode path.
+        In the ``"paired"`` layout it is stored *transposed*
+        ``[K/blocksize, N]`` (f32 values or uint8 nested codes alike) — the
+        fused kernel's native orientation, so no per-call transpose copy is
+        paid on the decode path; serialization canonicalizes back to the
+        flat interop order.
       code: the codebook used for the payload (16 entries for 4-bit types,
         256 for 8-bit), float32.
       blocksize: quantization block size (static).
@@ -99,8 +101,21 @@ class QuantState:
         """Recover float32 per-block absmax in canonical flat block order
         (resolving double quantization).
 
-        Reconstruction matches reference backends/default/ops.py:335-340:
-        ``absmax = code2[absmax_8bit] * absmax2 + offset``.
+        Reconstruction is ``code2[absmax_8bit] * absmax2 + offset``
+        (reference backends/default/ops.py:335-340).  For the canonical
+        dynamic map — every state this library or the reference produces
+        (quantize_4bit/quantize_blockwise hardcode it, reference
+        functional.py:938-951) — ``code2[idx]`` is computed by piecewise-
+        linear SEGMENT ARITHMETIC (functional/dynamic_segments.py), the
+        same code the fused gemm kernel's in-kernel nested decode runs
+        (ops/pallas/gemm4bit_paired._decode_scale_tile), so the two tiers
+        stay bit-identical — the 8-bit-optimizer-tier precedent.  The
+        segment form is within 2 ulp of the table gather (inside every
+        reference-parity budget) and is ~30 fused elementwise XLA ops —
+        no gather, no Pallas call, no trace-time concreteness probe.  A
+        concrete NON-canonical map falls back to the exact table-gather
+        oracle path; under jit the code leaf is a tracer and the canonical
+        map is assumed.
         """
         if not self.nested:
             if self.layout == "paired":
@@ -108,24 +123,13 @@ class QuantState:
             return self.absmax.reshape(-1)
         from .blockwise import dequantize_blockwise_with_code
         from .codebooks import create_dynamic_map
-        from ..ops import dispatch as _dispatch
-        from ..ops.pallas.blockwise8 import (
-            dequantize_blockwise_pallas,
-            pallas_blockwise8_supported,
-        )
+        from .dynamic_segments import build_segments_sym, segment_decode_sym
 
-        # state2's code is the canonical dynamic map for every state this
-        # library produces (quantize_4bit/quantize_blockwise hardcode it,
-        # reference functional.py:938-951) and for reference-interop
-        # checkpoints.  The Pallas select-tree dequant (bit-exact vs the
-        # oracle) is invoked DIRECTLY with the static code tuple — the
-        # blockwise dispatcher's concreteness check cannot pass under jit
-        # (jnp.asarray lifts even compile-time-constant tables to tracers
-        # at trace time), so routing through it silently fell to XLA's
-        # 256-entry gather lowering: measured 116.7 ms/step on NF4+DQ
-        # decode, 27x plain NF4.  A concrete NON-canonical map falls back
-        # to the exact oracle path; under jit the leaf is a tracer and the
-        # canonical map is assumed.
+        codes = self.absmax
+        if self.layout == "paired":
+            codes = codes.T  # stored transposed [K/bs, N] -> canonical [N, K/bs]
+        codes = codes.reshape(-1)
+
         code = self.state2.code
         canonical = True
         if not isinstance(code, jax.core.Tracer):
@@ -133,26 +137,18 @@ class QuantState:
                 np.asarray(code, np.float32),
                 np.asarray(create_dynamic_map(), np.float32),
             )
-        n = int(self.absmax.size)
-        if (
-            canonical
-            and _dispatch.use_pallas()
-            and n % self.state2.blocksize == 0
-            and pallas_blockwise8_supported(n, self.state2.blocksize)
-        ):
-            code_t = tuple(
-                float(x) for x in np.asarray(create_dynamic_map()).reshape(-1)[:256]
+        if canonical:
+            table = build_segments_sym(create_dynamic_map())
+            v = segment_decode_sym(codes.astype(jnp.int32), table)
+            s2 = jnp.repeat(
+                self.state2.absmax.reshape(-1).astype(jnp.float32),
+                self.state2.blocksize,
+                total_repeat_length=codes.shape[0],
             )
-            absmax = dequantize_blockwise_pallas(
-                self.absmax.reshape(-1),
-                self.state2.absmax.reshape(-1),
-                code_t=code_t,
-                blocksize=self.state2.blocksize,
-                dtype="float32",
-            )
+            absmax = v * s2
         else:
             absmax = dequantize_blockwise_with_code(
-                self.absmax,
+                codes,
                 self.state2.absmax,
                 code,
                 self.state2.blocksize,
@@ -216,7 +212,7 @@ class QuantState:
             "shape": tuple(int(s) for s in self.shape),
         }
         absmax_canon = self.absmax
-        if not self.nested and self.layout == "paired":
+        if self.layout == "paired":
             absmax_canon = self.absmax.T.reshape(-1)  # canonical flat order
             # The stats are canonicalized here, but the packed payload the
             # caller holds separately is still in the paired byte order —

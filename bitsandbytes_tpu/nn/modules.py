@@ -123,7 +123,8 @@ class QuantizedTensor:
         """Relayout the packed payload between ``flat``/``2d`` (reference-
         interop K-adjacent byte order) and ``paired`` (the TPU decode-kernel
         order, ops/pallas/gemm4bit_paired.py).  Byte-exact round trip; the
-        non-nested absmax transposes with the payload."""
+        absmax (f32 values or uint8 nested codes) transposes with the
+        payload."""
         cur = self.state.layout
         if cur == layout:
             return self
@@ -142,14 +143,13 @@ class QuantizedTensor:
             if N % 2 or K % bs:
                 raise ValueError(f"paired layout needs even N and K % {bs} == 0")
             new_data = repack_2d_to_npaired(data.reshape(N, K // 2), (N, K))
-            new_absmax = (
-                state.absmax if state.nested else state.absmax.reshape(N, K // bs).T
-            )
+            # f32 values and uint8 nested codes alike store transposed
+            new_absmax = state.absmax.reshape(N, K // bs).T
         elif cur == "paired":
             new_data = repack_npaired_to_2d(data.reshape(N // 2, K))
             if layout == "flat":
                 new_data = new_data.reshape(-1, 1)
-            new_absmax = state.absmax if state.nested else state.absmax.T.reshape(-1)
+            new_absmax = state.absmax.T.reshape(-1)
         else:  # flat <-> 2d: same bytes, free reshape
             new_data = data.reshape(N, K // 2) if layout == "2d" else data.reshape(-1, 1)
             new_absmax = state.absmax

@@ -58,6 +58,11 @@ __all__ = [
     "gemm_4bit_paired_nt",
     "paired_dequant_supported",
     "dequantize_paired_fast",
+    "paired_gemm_dq_supported",
+    "gemm_4bit_paired_dq",
+    "gemm_4bit_paired_nt_dq",
+    "paired_dequant_dq_supported",
+    "dequantize_paired_fast_dq",
 ]
 
 
@@ -222,6 +227,100 @@ def _decode_units(p, code_t: tuple):
 
 
 # ---------------------------------------------------------------------------
+# In-kernel nested (double-quantized) absmax decode — the TPU analog of the
+# reference fused kernel's register-level nested dequant
+# (csrc/gemm_4bit_simt.cu:104-117; op schema _ops.py:272-289).
+#
+# The absmax arrives as uint8 dynamic-map codes stored transposed [K/bs, N]
+# (the paired-layout storage convention), plus the second-level f32 scales
+# (one per 256 first-level blocks in *flat canonical* N-major order,
+# reference functional.py:938-951) and the scalar mean offset:
+#
+#     scale[i, j] = seg_decode(u8[i, j]) * s2[((n0+j)*KB + kb0+i) >> 8] + off
+#
+# The second-level index depends only on the (static) position, and within
+# one kernel tile each column spans AT MOST TWO second-level blocks
+# (TK/bs <= 64 << 256), so s2 resolves with ZERO gathers: per (k-tile,
+# column) the caller precomputes the low/high-block s2 values and the
+# switch row — three [K/TK, N] f32 planes, 12 bytes per TK*blocksize
+# weights — and the kernel picks per element with one iota compare.  The
+# u8 -> f32 decode is piecewise-linear segment arithmetic on the dynamic
+# map's half table (functional/dynamic_segments.py) — the SAME code the
+# jnp tier's QuantState.dequant_absmax runs, so kernel and oracle stay
+# bit-identical (the 8-bit-optimizer precedent; <= 2 ulp from the
+# table-gather reconstruction, inside every reference-parity budget).
+# Cost: ~25 lane-ops per scale element = ~0.4 per weight element on top of
+# the ~9.5/element payload decode.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _dyn_sym_table():
+    from ...functional.codebooks import create_dynamic_map
+    from ...functional.dynamic_segments import build_segments_sym
+
+    t = build_segments_sym(create_dynamic_map())
+    assert t is not None, "canonical dynamic map must be odd-symmetric"
+    return t
+
+
+def _decode_scale_tile(u8, s2a, s2b, sw, off):
+    """u8 ``[S, L]`` int32 nested-absmax codes; s2a/s2b ``[1, L]`` f32, sw ``[1, L]``
+    i32, off ``[1, L]`` f32 -> f32 scale tile ``[S, L] = seg_decode(u8) * s2 + off``."""
+    from ...functional.dynamic_segments import segment_decode_sym
+
+    v = segment_decode_sym(u8, _dyn_sym_table())
+    r = jax.lax.broadcasted_iota(jnp.int32, u8.shape, 0)
+    s2 = jnp.where(r >= sw, s2b, s2a)
+    return v * s2 + off
+
+
+def _nested_scale_planes(s2, offset, N: int, KB: int, k_tiles: int, TKb: int):
+    """Second-level scales resolved per (k-tile, column): returns
+    ``(s2a, s2b, sw, off)``, each ``[8 * k_tiles, N]`` f32 with every
+    k-tile row replicated 8x (Mosaic block sublanes must be divisible by
+    8, and a static ``[0:1, :]`` read beats a dynamic row index); ``off``
+    is the broadcast offset row ``[1, N]``.  Column ``n`` of k-tile ``t``
+    covers flat first-level blocks ``[n*KB + t*TKb, ... + TKb)`` — at most
+    two 256-blocks; ``sw`` is the first in-tile row inside the high block
+    (<= 0 when the tile sits in one block, where s2a == s2b anyway)."""
+    s2 = s2.reshape(-1).astype(jnp.float32)
+    n = np.arange(N, dtype=np.int64)
+    # NO gathers, no O(N*KB) intermediates: XLA TPU gathers run ~1 element/
+    # cycle — three jnp.take calls building these planes cost ~350 us/matmul
+    # at the 8B decode shapes (5x the whole kernel; kernel-only measured
+    # 83.5 us) — and a naive repeat(s2, 256) + stride-KB slices re-reads
+    # multi-MB vectors per slice (~300 us/layer at the 8B geometry).
+    # Number theory shrinks it to O(N * KB/gcd(KB, 256)) <= 7N elements:
+    # with g = gcd(KB, 256), S = 256/g, KB' = KB/g and any offset c,
+    #   (n*KB + c) >> 8 == (n*KB' + c//g) // S
+    # (the fractional part (c mod g)/g can never push the floor over an
+    # integer boundary), so s2 per plane row is a stride-KB' slice of the
+    # small upsample repeat(s2, S):
+    #   s2_plane[t, n] = s2[(n*KB + c_t) >> 8] = repeat(s2, S)[n*KB' + c_t//g]
+    g = int(np.gcd(KB, 256))
+    S = 256 // g
+    KBp = KB // g
+    s2_rep = jnp.repeat(s2, S)  # [nb2 * S] >= N * KB'
+    span = (N - 1) * KBp + 1
+
+    def row(c: int):
+        q = c // g
+        return jax.lax.slice_in_dim(s2_rep, q, q + span, stride=KBp)
+
+    rows_a = [row(t * TKb) for t in range(k_tiles)]
+    rows_b = [row(t * TKb + TKb - 1) for t in range(k_tiles)]
+    sw_r = [((((n * KB + t * TKb + TKb - 1) >> 8) << 8) - (n * KB + t * TKb))
+            for t in range(k_tiles)]
+    rep8 = lambda rows: jnp.repeat(jnp.stack(rows), 8, axis=0)  # noqa: E731
+    s2a = rep8(rows_a)
+    s2b = rep8(rows_b)
+    sw = jnp.asarray(np.repeat(np.stack(sw_r), 8, axis=0).astype(np.int32))
+    off = jnp.broadcast_to(offset.reshape(1, 1).astype(jnp.float32), (1, N))
+    return s2a, s2b, sw, off
+
+
+# ---------------------------------------------------------------------------
 # forward kernel: out[M, N] = A[M, K] @ dequant(B)[N, K]^T
 # ---------------------------------------------------------------------------
 
@@ -238,6 +337,19 @@ def _dot_f32acc(a, b, dims):
     return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
 
 
+def _subdot_accum(a, units, scale, blocksize: int):
+    """One MXU dot + one [TM, TN] scale-FMA per quantization block."""
+    dims = (((1,), (1,)), ((), ()))
+    nb = units.shape[1] // blocksize
+    acc = None
+    for b in range(nb):
+        sl = slice(b * blocksize, (b + 1) * blocksize)
+        sub = _dot_f32acc(a[:, sl], units[:, sl], dims)
+        term = sub * scale[b : b + 1, :]
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def _paired_kernel(a_ref, bp_ref, scale_ref, out_ref, *, code_t, blocksize, scale_mode):
     k = pl.program_id(2)
     p = bp_ref[:].astype(jnp.int32)  # [TN/2, TK] packed bytes
@@ -247,14 +359,7 @@ def _paired_kernel(a_ref, bp_ref, scale_ref, out_ref, *, code_t, blocksize, scal
     dims = (((1,), (1,)), ((), ()))
 
     if scale_mode == "subdot":
-        # one MXU dot + one [TM, TN] scale-FMA per quantization block
-        acc = None
-        a = a_ref[:]
-        for b in range(nb):
-            sl = slice(b * blocksize, (b + 1) * blocksize)
-            sub = _dot_f32acc(a[:, sl], units[:, sl], dims)
-            term = sub * scale_ref[b : b + 1, :]
-            acc = term if acc is None else acc + term
+        acc = _subdot_accum(a_ref[:], units, scale_ref[:], blocksize)
     else:  # per-element scale on the decoded units (fallback mode)
         rows = jax.lax.broadcasted_iota(jnp.int32, (nb, TK), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (nb, TK), 1) // blocksize
@@ -429,6 +534,136 @@ def gemm_4bit_paired(
     return out.reshape(*lead, N)
 
 
+# -- forward, nested absmax decoded in-kernel --------------------------------
+
+
+def _paired_kernel_dq(
+    a_ref, bp_ref, u8_ref, s2a_ref, s2b_ref, sw_ref, off_ref, out_ref, sc_ref,
+    *, code_t, blocksize,
+):
+    # Decode the WHOLE [TKb, TN] scale tile in one vector pass (27 ps/elem
+    # measured, experiments/probe_dqscale.py), park it in VMEM scratch, and
+    # slice rows from the REF per sub-dot — both row-by-row decode ([1, TN]
+    # vectors run at 1/8 sublane utilization) and slicing a computed vector
+    # (Mosaic relayouts per slice) measured ~4-5x whole-kernel on-chip.
+    k = pl.program_id(2)
+    p = bp_ref[:].astype(jnp.int32)
+    units = _decode_units(p, code_t)
+    sc_ref[:] = _decode_scale_tile(
+        u8_ref[:].astype(jnp.int32),
+        s2a_ref[0:1, :], s2b_ref[0:1, :], sw_ref[0:1, :], off_ref[:],
+    )
+    acc = _subdot_accum(a_ref[:], units, sc_ref, blocksize)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = acc
+
+    @pl.when(k > 0)
+    def _accum():
+        out_ref[:] += acc
+
+
+def paired_gemm_dq_supported(M: int, N: int, K: int, blocksize: int) -> bool:
+    if not paired_gemm_supported(M, N, K, blocksize):
+        return False
+    TM, TN, TK = _pick_tiles_paired(M, N, K, blocksize)
+    # the uint8 scale-code tile needs a sublane-tileable first dim
+    return (TK // blocksize) % 8 == 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("code", "blocksize", "out_dtype", "tiles")
+)
+def _gemm_4bit_paired_dq_jit(
+    A, P, U8T, s2, offset, *, code, blocksize, out_dtype, tiles=None
+):
+    M, K = A.shape
+    N = 2 * P.shape[0]
+    TM, TN, TK = tiles if tiles is not None else _pick_tiles_paired(M, N, K, blocksize)
+
+    M_pad = max(TM, 16)
+    if M < M_pad:
+        A = jnp.pad(A, ((0, M_pad - M), (0, 0)))
+        TM = M_pad
+
+    KB = K // blocksize
+    TKb = TK // blocksize
+    s2a, s2b, sw, off = _nested_scale_planes(s2, offset, N, KB, K // TK, TKb)
+
+    grid = (A.shape[0] // TM, N // TN, K // TK)
+    kernel = functools.partial(_paired_kernel_dq, code_t=code, blocksize=blocksize)
+    row = lambda m, i, k: (k, i)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TK), lambda m, i, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN // 2, TK), lambda m, i, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TKb, TN), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda m, i, k: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda m, i, k: (m, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((A.shape[0], N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TKb, TN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * A.shape[0] * N * K,
+            bytes_accessed=A.shape[0] * K * 2 + N * K // 2 + KB * N
+            + A.shape[0] * N * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(A, P, U8T, s2a, s2b, sw, off)
+    return out[:M].astype(out_dtype)
+
+
+def gemm_4bit_paired_dq(
+    A: jax.Array,
+    P: jax.Array,
+    absmax_u8_t: jax.Array,
+    s2: jax.Array,
+    offset: jax.Array,
+    code,
+    blocksize: int,
+    shapeB: tuple,
+    out_dtype=None,
+    tiles=None,
+) -> jax.Array:
+    """Fused ``A @ dequant(B)^T`` with the double-quantized absmax decoded
+    inside the kernel — no pre-pass, no f32 absmax materialization (the
+    reference's in-register nested dequant, gemm_4bit_simt.cu:104-117).
+
+    Args:
+      absmax_u8_t: ``[K/blocksize, N]`` uint8 dynamic-map codes (transposed
+        paired-layout storage; flat-canonical codes are ``u8_t.T.ravel()``).
+      s2: second-level f32 scales, one per 256 flat-order first-level blocks.
+      offset: scalar f32 mean offset.
+    """
+    N, K = shapeB
+    lead = A.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+    out_dtype = out_dtype or A.dtype
+    code_t = tuple(float(x) for x in np.asarray(code).reshape(-1)[:16])
+    out = _gemm_4bit_paired_dq_jit(
+        A.reshape(M, K),
+        P,
+        absmax_u8_t,
+        s2,
+        offset,
+        code=code_t,
+        blocksize=blocksize,
+        out_dtype=out_dtype,
+        tiles=tiles,
+    )
+    return out.reshape(*lead, N)
+
+
 # ---------------------------------------------------------------------------
 # transposed orientation: out[M, K] = G[M, N] @ dequant(B)[N, K]
 # (the 4-bit matmul backward, reference autograd/_functions.py:381-384) —
@@ -436,24 +671,48 @@ def gemm_4bit_paired(
 # ---------------------------------------------------------------------------
 
 
-def _paired_nt_kernel(g_ref, bp_ref, scale_ref, out_ref, *, code_t, blocksize):
-    n = pl.program_id(2)
-    p = bp_ref[:].astype(jnp.int32)
-    units = _decode_units(p, code_t)  # [TN, TK]
-    TK = p.shape[1]
-    nb = TK // blocksize
-    g = g_ref[:]
-    # scale[n, b] folds into G per k-block: out[:, b] = (g * scale_b) @ units
+def _nt_accum(g, units, scale, blocksize: int):
+    """scale[b, n] folds into G per k-block: out[:, b] = (g * scale_b) @ units."""
+    nb = units.shape[1] // blocksize
     parts = []
     for b in range(nb):
-        gs = (g * scale_ref[b : b + 1, :]).astype(
+        gs = (g * scale[b : b + 1, :]).astype(
             jnp.bfloat16 if g.dtype != jnp.float32 else jnp.float32
         )
         sub = _dot_f32acc(
             gs, units[:, b * blocksize : (b + 1) * blocksize], (((1,), (0,)), ((), ()))
         )
         parts.append(sub)
-    acc = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
+def _paired_nt_kernel(g_ref, bp_ref, scale_ref, out_ref, *, code_t, blocksize):
+    n = pl.program_id(2)
+    p = bp_ref[:].astype(jnp.int32)
+    units = _decode_units(p, code_t)  # [TN, TK]
+    acc = _nt_accum(g_ref[:], units, scale_ref[:], blocksize)
+
+    @pl.when(n == 0)
+    def _init():
+        out_ref[:] = acc
+
+    @pl.when(n > 0)
+    def _accum():
+        out_ref[:] += acc
+
+
+def _paired_nt_kernel_dq(
+    g_ref, bp_ref, u8_ref, s2a_ref, s2b_ref, sw_ref, off_ref, out_ref, sc_ref,
+    *, code_t, blocksize,
+):
+    n = pl.program_id(2)
+    p = bp_ref[:].astype(jnp.int32)
+    units = _decode_units(p, code_t)
+    sc_ref[:] = _decode_scale_tile(
+        u8_ref[:].astype(jnp.int32),
+        s2a_ref[0:1, :], s2b_ref[0:1, :], sw_ref[0:1, :], off_ref[:],
+    )
+    acc = _nt_accum(g_ref[:], units, sc_ref, blocksize)
 
     @pl.when(n == 0)
     def _init():
@@ -516,6 +775,64 @@ def gemm_4bit_paired_nt(
     return out.reshape(*lead, K)
 
 
+@functools.partial(jax.jit, static_argnames=("code", "blocksize", "out_dtype"))
+def _gemm_4bit_paired_nt_dq_jit(G, P, U8T, s2, offset, *, code, blocksize, out_dtype):
+    M, N = G.shape
+    K = P.shape[1]
+    TM, TN, TK = _pick_tiles_paired(M, N, K, blocksize)
+
+    M_pad = max(TM, 16)
+    if M < M_pad:
+        G = jnp.pad(G, ((0, M_pad - M), (0, 0)))
+        TM = M_pad
+
+    KB = K // blocksize
+    TKb = TK // blocksize
+    s2a, s2b, sw, off = _nested_scale_planes(s2, offset, N, KB, K // TK, TKb)
+
+    grid = (G.shape[0] // TM, K // TK, N // TN)
+    kernel = functools.partial(_paired_nt_kernel_dq, code_t=code, blocksize=blocksize)
+    row = lambda m, k, n: (k, n)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TN), lambda m, k, n: (m, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN // 2, TK), lambda m, k, n: (n, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TKb, TN), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda m, k, n: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TK), lambda m, k, n: (m, k), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G.shape[0], K), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TKb, TN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(G, P, U8T, s2a, s2b, sw, off)
+    return out[:M].astype(out_dtype)
+
+
+def gemm_4bit_paired_nt_dq(
+    G, P, absmax_u8_t, s2, offset, code, blocksize: int, shapeB, out_dtype=None
+) -> jax.Array:
+    """Fused ``G @ dequant(B)`` (contract over N) with in-kernel nested
+    absmax decode — see :func:`gemm_4bit_paired_dq`."""
+    N, K = shapeB
+    lead = G.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+    out_dtype = out_dtype or G.dtype
+    code_t = tuple(float(x) for x in np.asarray(code).reshape(-1)[:16])
+    out = _gemm_4bit_paired_nt_dq_jit(
+        G.reshape(M, N), P, absmax_u8_t, s2, offset,
+        code=code_t, blocksize=blocksize, out_dtype=out_dtype,
+    )
+    return out.reshape(*lead, K)
+
+
 # ---------------------------------------------------------------------------
 # Fast bf16 dequantize of the paired layout (prefill/training route): for
 # M >~ 512 the MXU is the bottleneck, and a materialize-then-matmul beats the
@@ -555,6 +872,64 @@ def paired_dequant_supported(N: int, K: int, blocksize: int) -> bool:
         return False
     TN, TK = _dequant_tiles_paired(N, K, blocksize)
     return TN is not None and TK is not None
+
+
+def _paired_dequant_kernel_dq(
+    bp_ref, u8_ref, s2a_ref, s2b_ref, sw_ref, off_ref, out_ref, *, code_t, blocksize
+):
+    p = bp_ref[:].astype(jnp.int32)
+    units = _decode_units(p, code_t)  # [TN, TK]
+    TK = p.shape[1]
+    nb = TK // blocksize
+    scale = _decode_scale_tile(
+        u8_ref[:].astype(jnp.int32),
+        s2a_ref[0:1, :], s2b_ref[0:1, :], sw_ref[0:1, :], off_ref[:],
+    )  # [TKb, TN]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, TK), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, TK), 1) // blocksize
+    E = (rows == cols).astype(jnp.float32)
+    sc = jax.lax.dot_general(
+        scale, E, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # [TN, TK]
+    out_ref[:] = (units.astype(jnp.float32) * sc).astype(out_ref.dtype)
+
+
+def paired_dequant_dq_supported(N: int, K: int, blocksize: int) -> bool:
+    if not paired_dequant_supported(N, K, blocksize):
+        return False
+    TN, TK = _dequant_tiles_paired(N, K, blocksize)
+    return (TK // blocksize) % 8 == 0
+
+
+@functools.partial(jax.jit, static_argnames=("code", "blocksize", "dtype"))
+def dequantize_paired_fast_dq(P, absmax_u8_t, s2, offset, *, code, blocksize, dtype=jnp.bfloat16):
+    """:func:`dequantize_paired_fast` with in-kernel nested absmax decode
+    (same scale semantics as :func:`gemm_4bit_paired_dq`)."""
+    N2, K = P.shape
+    N = 2 * N2
+    code_t = tuple(float(x) for x in np.asarray(code).reshape(-1)[:16])
+    TN, TK = _dequant_tiles_paired(N, K, blocksize)
+    KB = K // blocksize
+    TKb = TK // blocksize
+    s2a, s2b, sw, off = _nested_scale_planes(s2, offset, N, KB, K // TK, TKb)
+    row = lambda i, k: (k, i)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_paired_dequant_kernel_dq, code_t=code_t, blocksize=blocksize),
+        grid=(N // TN, K // TK),
+        in_specs=[
+            pl.BlockSpec((TN // 2, TK), lambda i, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TKb, TN), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TN, TK), lambda i, k: (i, k), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, K), jnp.dtype(dtype)),
+        interpret=_interpret(),
+    )(P, absmax_u8_t, s2a, s2b, sw, off)
 
 
 @functools.partial(jax.jit, static_argnames=("code", "blocksize", "dtype"))

@@ -231,41 +231,50 @@ def test_gemm_4bit_nested_absmax():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-def test_nested_absmax_dequant_routes_to_kernel_under_jit(monkeypatch):
-    """dequant_absmax must reach the Pallas select-tree dequant even when
-    the QuantState flows through jit as a traced pytree: jnp.asarray lifts
-    constant code tables to tracers at trace time, so routing through the
-    blockwise dispatcher's concreteness check silently fell to XLA's
-    256-entry gather lowering (measured 116.7 ms/step NF4+DQ decode, 27x
-    plain NF4).  Bit-exactness vs the eager oracle is asserted too."""
-    import bitsandbytes_tpu.functional.quant_state as QS
-    import bitsandbytes_tpu.ops.pallas.blockwise8 as B8
-    from bitsandbytes_tpu.ops import dispatch
+def test_nested_absmax_dequant_routes_to_segment_decode_under_jit(monkeypatch):
+    """dequant_absmax must use the segment-arithmetic decode for the
+    canonical dynamic map BOTH eagerly and when the QuantState flows
+    through jit as a traced pytree (jnp.asarray lifts constant code tables
+    to tracers at trace time — before round 3, a concreteness check
+    silently dropped jitted NF4+DQ decode onto XLA's 256-entry gather
+    lowering, 27x plain NF4).  The segment decode is also what the fused
+    gemm kernel's in-kernel nested decode runs
+    (ops/pallas/gemm4bit_paired._decode_scale_tile), so this route keeps
+    the two tiers bit-identical."""
+    import bitsandbytes_tpu.functional.dynamic_segments as DS
 
     calls = []
-    orig = B8.dequantize_blockwise_pallas
+    orig = DS.segment_decode_sym
 
     def spy(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
-    # quant_state imports the kernel at call time from the module, so
-    # patching the module attribute intercepts both eager and traced calls
-    monkeypatch.setattr(B8, "dequantize_blockwise_pallas", spy)
+    # quant_state imports at call time from the module, so patching the
+    # module attribute intercepts both eager and traced calls
+    monkeypatch.setattr(DS, "segment_decode_sym", spy)
 
-    # absmax count must satisfy pallas_blockwise8_supported: N*K/64 = 2048
     W = jnp.asarray(np.random.randn(64, 2048).astype(np.float32))
     packed, state = F.quantize_4bit(W, compress_statistics=True)
     ref = np.asarray(state.dequant_absmax())  # eager (concrete code leaf)
-    if dispatch.use_pallas():
-        assert calls, "eager nested dequant did not use the Pallas kernel"
+    assert calls, "eager nested dequant did not use the segment decode"
     calls.clear()
     out = np.asarray(jax.jit(lambda s: s.dequant_absmax())(state))
-    if dispatch.use_pallas():
-        assert calls, "traced nested dequant fell off the Pallas kernel route"
+    assert calls, "traced nested dequant fell off the segment-decode route"
     # jit may contract absmax*scale + offset into an FMA (one f32 rounding
     # fewer than eager) — equality holds to 1 ulp, not bit-exactly
     np.testing.assert_allclose(out, ref, rtol=3e-7, atol=0)
+    # vs the exact table-gather reconstruction (reference default backend
+    # semantics): the segment form is within ~2 ulp per entry
+    from bitsandbytes_tpu.functional.blockwise import dequantize_blockwise_with_code
+
+    exact = np.asarray(
+        dequantize_blockwise_with_code(
+            state.absmax, state.state2.absmax, state.state2.code, 256, jnp.float32
+        ).reshape(-1)
+        + state.offset
+    )
+    np.testing.assert_allclose(ref, exact, rtol=5e-7, atol=0)
 
 
 def test_resolve_nested_bit_identical():

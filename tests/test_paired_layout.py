@@ -164,7 +164,8 @@ def test_paired_serialization_interop_bytes():
 
 
 def test_paired_double_quant_dispatch():
-    """compress_statistics + paired: nested absmax stays flat, forward runs."""
+    """compress_statistics + paired: nested absmax codes store transposed
+    [K/bs, N] (the in-kernel decode orientation), forward runs."""
     rng = np.random.default_rng(7)
     N, K = 128, 512
     W = (rng.standard_normal((N, K)) / np.sqrt(K)).astype(np.float32)
@@ -173,9 +174,138 @@ def test_paired_double_quant_dispatch():
         jnp.asarray(W), blocksize=64, layout="paired", compress_statistics=True
     )
     assert qt.state.nested and qt.state.layout == "paired"
+    assert qt.state.absmax.shape == (K // 64, N) and qt.state.absmax.dtype == jnp.uint8
     y = np.asarray(bnb.matmul_4bit(x, qt.data, qt.state), np.float32)
     ref = np.asarray(x, np.float32) @ W.T
     assert np.abs(y - ref).max() / np.abs(ref).max() < 0.2  # 4-bit quant noise
+
+
+def test_paired_dq_inkernel_bit_identical_to_resolved():
+    """The in-kernel nested-absmax decode (gemm_4bit_paired_dq — the TPU
+    analog of the reference's register-level nested dequant,
+    gemm_4bit_simt.cu:104-117) must produce BIT-identical outputs to the
+    same kernel running on a resolve_nested() state: the segment-decoded
+    scales are shared between the jnp tier (QuantState.dequant_absmax) and
+    the kernel tier (_decode_scale_tile).  Covers fwd, NT backward, and the
+    large-M fast-dequant route.
+
+    The resolve runs UNDER JIT (like the kernels): eager resolve differs
+    by one f32 rounding on ~0.06% of scales because XLA contracts
+    ``v * s2 + offset`` into an FMA only when compiling (the known 1-ulp
+    eager/jit difference documented in
+    test_nested_absmax_dequant_routes_to_segment_decode_under_jit)."""
+    from bitsandbytes_tpu.functional.gemm import _inline_dq_ok
+    from bitsandbytes_tpu.ops.pallas.gemm4bit_paired import (
+        dequantize_paired_fast,
+        dequantize_paired_fast_dq,
+        gemm_4bit_paired,
+        gemm_4bit_paired_dq,
+        gemm_4bit_paired_nt,
+        gemm_4bit_paired_nt_dq,
+        paired_dequant_dq_supported,
+        paired_gemm_dq_supported,
+    )
+
+    rng = np.random.default_rng(17)
+    N, K, bs, M = 256, 512, 64, 4
+    W = (rng.standard_normal((N, K)) / np.sqrt(K)).astype(np.float32)
+    qt = QuantizedTensor.quantize(
+        jnp.asarray(W), blocksize=bs, layout="paired", compress_statistics=True
+    )
+    assert _inline_dq_ok(qt.state)
+    assert paired_gemm_dq_supported(M, N, K, bs)
+    assert paired_dequant_dq_supported(N, K, bs)
+    rs = jax.jit(lambda s: s.resolve_nested())(qt.state)
+    code = get_4bit_code("nf4", bs)
+    code_t = tuple(float(x) for x in code)
+
+    A = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    out_dq = gemm_4bit_paired_dq(
+        A, qt.data, qt.state.absmax, qt.state.state2.absmax, qt.state.offset,
+        code=code, blocksize=bs, shapeB=(N, K), out_dtype=jnp.float32,
+    )
+    out_res = gemm_4bit_paired(
+        A, qt.data, rs.absmax, code=code, blocksize=bs, shapeB=(N, K),
+        out_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(out_dq), np.asarray(out_res))
+
+    G = jnp.asarray(rng.standard_normal((M, N)), jnp.bfloat16)
+    nt_dq = gemm_4bit_paired_nt_dq(
+        G, qt.data, qt.state.absmax, qt.state.state2.absmax, qt.state.offset,
+        code=code, blocksize=bs, shapeB=(N, K), out_dtype=jnp.float32,
+    )
+    nt_res = gemm_4bit_paired_nt(
+        G, qt.data, rs.absmax, code=code, blocksize=bs, shapeB=(N, K),
+        out_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(nt_dq), np.asarray(nt_res))
+
+    W_dq = dequantize_paired_fast_dq(
+        qt.data, qt.state.absmax, qt.state.state2.absmax, qt.state.offset,
+        code=code_t, blocksize=bs, dtype=jnp.bfloat16,
+    )
+    W_res = dequantize_paired_fast(
+        qt.data, rs.absmax, code=code_t, blocksize=bs, dtype=jnp.bfloat16,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(W_dq, np.float32), np.asarray(W_res, np.float32)
+    )
+
+
+def test_paired_dq_matmul_dispatch_and_grad():
+    """matmul_4bit on a nested paired tensor routes through the in-kernel
+    DQ decode (no absmax pre-pass) and its custom-VJP backward matches the
+    dequantized-weight reference."""
+    rng = np.random.default_rng(18)
+    N, K, bs = 256, 512, 64
+    W = (rng.standard_normal((N, K)) / np.sqrt(K)).astype(np.float32)
+    qt = QuantizedTensor.quantize(
+        jnp.asarray(W), blocksize=bs, layout="paired", compress_statistics=True
+    )
+    x = jnp.asarray(rng.standard_normal((4, K)).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum(bnb.matmul_4bit(x, qt.data, qt.state) ** 2)
+
+    g = np.asarray(jax.grad(loss)(x), np.float32)
+    Wdq = np.asarray(qt.dequantize(), np.float32)
+    y = np.asarray(x, np.float32) @ Wdq.T
+    g_ref = 2.0 * y @ Wdq
+    np.testing.assert_allclose(g, g_ref, rtol=2e-2, atol=2e-2 * np.abs(g_ref).max())
+
+
+def test_paired_dq_second_level_block_straddle():
+    """K/bs not dividing 256 (e.g. Llama wdown K=14336 -> KB=224): a
+    transposed column straddles a second-level 256-block boundary, so the
+    in-kernel two-value select per (k-tile, column) must switch mid-column.
+    Verified against the resolved state on a shape whose columns straddle."""
+    from bitsandbytes_tpu.ops.pallas.gemm4bit_paired import (
+        gemm_4bit_paired,
+        gemm_4bit_paired_dq,
+        paired_gemm_dq_supported,
+    )
+
+    rng = np.random.default_rng(19)
+    # KB = K/bs = 24 per column; 256 % 24 != 0 -> boundaries straddle columns
+    N, K, bs, M = 64, 768, 32, 2
+    W = (rng.standard_normal((N, K)) / np.sqrt(K)).astype(np.float32)
+    qt = QuantizedTensor.quantize(
+        jnp.asarray(W), blocksize=bs, layout="paired", compress_statistics=True
+    )
+    assert paired_gemm_dq_supported(M, N, K, bs)
+    rs = jax.jit(lambda s: s.resolve_nested())(qt.state)
+    code = get_4bit_code("nf4", bs)
+    A = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    out_dq = gemm_4bit_paired_dq(
+        A, qt.data, qt.state.absmax, qt.state.state2.absmax, qt.state.offset,
+        code=code, blocksize=bs, shapeB=(N, K), out_dtype=jnp.float32,
+    )
+    out_res = gemm_4bit_paired(
+        A, qt.data, rs.absmax, code=code, blocksize=bs, shapeB=(N, K),
+        out_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(out_dq), np.asarray(out_res))
 
 
 def test_paired_fast_dequant_matches_class_dequant():

@@ -528,6 +528,7 @@ def forward(
     lora: Optional[dict] = None,
     int8_threshold: float = 0.0,
     return_hidden: bool = False,
+    mesh=None,
 ):
     """Run the transformer over ``ids`` [B, T].
 
@@ -537,6 +538,14 @@ def forward(
     Returns ``(logits [B, T, V], new_cache)`` — or the final-norm hidden
     states ``[B, T, D]`` instead of logits when ``return_hidden`` (the
     chunked-loss path applies the lm_head itself, per token chunk).
+
+    ``mesh``: optional `jax.sharding.Mesh` for multi-device serving.  The
+    dense jnp ops partition via GSPMD on their input shardings alone, but
+    Pallas kernels do not auto-partition — with a mesh, the flash cached/
+    paged attention calls run under ``shard_map`` with KV heads split over
+    the ``model`` axis (and batch over ``data``; see
+    ops/pallas/flash_cached.py TP wrappers).  Pass it statically (Mesh is
+    hashable) from jitted callers — the serving engine does.
     """
     B, T = ids.shape
     H, KVH, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -622,18 +631,27 @@ def forward(
             from ..ops import dispatch as _dispatch
             from ..ops.pallas.flash_cached import (
                 flash_attention_paged,
+                flash_attention_paged_tp,
                 flash_paged_supported,
             )
 
             G = H // KVH
             if _dispatch.use_pallas() and flash_paged_supported(BSz, hd, G):
                 qf = q.transpose(0, 2, 1, 3).reshape(B, KVH, G, hd)
-                attn_f = flash_attention_paged(
-                    qf, ck, cv, cache.tables, start_pos, T=1,
-                    k_scale=cks if is_int8_kv else None,
-                    v_scale=cvs if is_int8_kv else None,
-                    window=cfg.sliding_window,
-                )
+                if mesh is not None:
+                    attn_f = flash_attention_paged_tp(
+                        mesh, qf, ck, cv, cache.tables, start_pos, T=1,
+                        k_scale=cks if is_int8_kv else None,
+                        v_scale=cvs if is_int8_kv else None,
+                        window=cfg.sliding_window,
+                    )
+                else:
+                    attn_f = flash_attention_paged(
+                        qf, ck, cv, cache.tables, start_pos, T=1,
+                        k_scale=cks if is_int8_kv else None,
+                        v_scale=cvs if is_int8_kv else None,
+                        window=cfg.sliding_window,
+                    )
                 attn = (
                     attn_f.reshape(B, KVH, G, 1, hd)
                     .transpose(0, 3, 1, 2, 4)
@@ -703,6 +721,7 @@ def forward(
             from ..ops.pallas.flash_cached import (
                 GT_MAX,
                 flash_attention_cached,
+                flash_attention_cached_tp,
                 flash_cached_supported,
             )
 
@@ -721,12 +740,21 @@ def forward(
                     Tc = min(Tc_max, T - off)
                     q_c = q[:, off : off + Tc]
                     qf = q_c.transpose(0, 2, 1, 3).reshape(B, KVH, G * Tc, hd)
-                    attn_f = flash_attention_cached(
-                        qf, ck, cv, lengths - (T - 1) + (off + Tc - 1), T=Tc,
-                        k_scale=cks if is_int8_kv else None,
-                        v_scale=cvs if is_int8_kv else None,
-                        window=cfg.sliding_window,
-                    )
+                    if mesh is not None:
+                        attn_f = flash_attention_cached_tp(
+                            mesh, qf, ck, cv,
+                            lengths - (T - 1) + (off + Tc - 1), T=Tc,
+                            k_scale=cks if is_int8_kv else None,
+                            v_scale=cvs if is_int8_kv else None,
+                            window=cfg.sliding_window,
+                        )
+                    else:
+                        attn_f = flash_attention_cached(
+                            qf, ck, cv, lengths - (T - 1) + (off + Tc - 1), T=Tc,
+                            k_scale=cks if is_int8_kv else None,
+                            v_scale=cvs if is_int8_kv else None,
+                            window=cfg.sliding_window,
+                        )
                     chunks.append(attn_f.reshape(B, KVH, G, Tc, hd))
                 attn_f = (
                     jnp.concatenate(chunks, axis=3) if len(chunks) > 1 else chunks[0]

@@ -48,6 +48,8 @@ __all__ = [
     "flash_paged_supported",
     "flash_attention_cached",
     "flash_attention_paged",
+    "flash_attention_cached_tp",
+    "flash_attention_paged_tp",
 ]
 
 _NEG_INF = -1e30
@@ -467,3 +469,126 @@ def flash_attention_cached(
         int8_kv=int8_kv,
         out_dtype=out_dtype,
     )
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel (mesh) wrappers: Megatron-style attention-head sharding.
+#
+# Pallas kernels do not participate in GSPMD auto-partitioning, so under a
+# device mesh the flash calls run inside `jax.shard_map` with the KV-head
+# axis split over the ``model`` mesh axis.  Attention is embarrassingly
+# parallel over KV heads (each head group's online-softmax recurrence is
+# independent), so the mapped body needs NO collectives — the surrounding
+# GSPMD program all-gathers/reduce-scatters activations at the projection
+# boundaries instead (SURVEY §2.4 "sharded KV / serving"; BASELINE config
+# #5's serving layout).  Batch additionally splits over ``data`` when it
+# divides evenly (continuous-batching slots are independent too).
+# ---------------------------------------------------------------------------
+
+
+def _tp_axes(mesh, n_kvh: int, n_batch: int, model_axis: str, data_axis: str):
+    """(batch_axis | None, model_axis | None) usable for head/batch splits."""
+    names = mesh.axis_names
+    ma = model_axis if (model_axis in names and mesh.shape[model_axis] > 1) else None
+    if ma is not None and n_kvh % mesh.shape[ma]:
+        ma = None
+    da = data_axis if (data_axis in names and mesh.shape[data_axis] > 1) else None
+    if da is not None and n_batch % mesh.shape[da]:
+        da = None
+    return da, ma
+
+
+def flash_attention_cached_tp(
+    mesh,
+    q,
+    k,
+    v,
+    lengths,
+    *,
+    T: int,
+    k_scale=None,
+    v_scale=None,
+    window=None,
+    out_dtype=None,
+    model_axis: str = "model",
+    data_axis: str = "data",
+):
+    """:func:`flash_attention_cached` under ``shard_map``: q/k/v/scales split
+    their KV-head axis over ``model_axis`` (and batch over ``data_axis``
+    when divisible).  Falls back to the unmapped call when the mesh offers
+    no usable split."""
+    from jax.sharding import PartitionSpec as P
+
+    B, KVH = q.shape[0], q.shape[1]
+    da, ma = _tp_axes(mesh, KVH, B, model_axis, data_axis)
+    if da is None and ma is None:
+        return flash_attention_cached(
+            q, k, v, lengths, T=T, k_scale=k_scale, v_scale=v_scale,
+            window=window, out_dtype=out_dtype,
+        )
+    qs = P(da, ma, None, None)
+    ss = P(da, ma, None)
+
+    def inner(q, k, v, ks, vs, lens):
+        return flash_attention_cached(
+            q, k, v, lens, T=T, k_scale=ks, v_scale=vs,
+            window=window, out_dtype=out_dtype,
+        )
+
+    return jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(qs, qs, qs, ss, ss, P(da)),
+        out_specs=qs,
+        check_vma=False,
+    )(q, k, v, k_scale, v_scale, lengths.astype(jnp.int32))
+
+
+def flash_attention_paged_tp(
+    mesh,
+    q,
+    pool_k,
+    pool_v,
+    tables,
+    lengths,
+    *,
+    T: int = 1,
+    k_scale=None,
+    v_scale=None,
+    window=None,
+    out_dtype=None,
+    model_axis: str = "model",
+    data_axis: str = "data",
+):
+    """:func:`flash_attention_paged` under ``shard_map``: the physical block
+    pool splits its KV-head axis over ``model_axis`` (every device holds all
+    pool blocks for ITS heads — the block table indirection stays local);
+    q/tables/lengths split batch over ``data_axis`` when divisible, with the
+    pool replicated across it."""
+    from jax.sharding import PartitionSpec as P
+
+    B, KVH = q.shape[0], q.shape[1]
+    da, ma = _tp_axes(mesh, KVH, B, model_axis, data_axis)
+    if da is None and ma is None:
+        return flash_attention_paged(
+            q, pool_k, pool_v, tables, lengths, T=T, k_scale=k_scale,
+            v_scale=v_scale, window=window, out_dtype=out_dtype,
+        )
+    qs = P(da, ma, None, None)
+    ps = P(None, ma, None, None)  # pool [NB, KVH, BS, hd]
+    ss = P(None, ma, None)
+
+    def inner(q, pk, pv, ks, vs, tbl, lens):
+        return flash_attention_paged(
+            q, pk, pv, tbl, lens, T=T, k_scale=ks, v_scale=vs,
+            window=window, out_dtype=out_dtype,
+        )
+
+    return jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(qs, ps, ps, ss, ss, P(da, None), P(da)),
+        out_specs=qs,
+        check_vma=False,
+    )(q, pool_k, pool_v, k_scale, v_scale,
+      tables.astype(jnp.int32), lengths.astype(jnp.int32))

@@ -219,23 +219,30 @@ def kv_cache_specs(
     (scale arrays [L, B, KVH, S] shard congruently).  Axes that don't
     divide evenly on ``mesh`` fall back to replication.
 
-    PagedKVCache is rejected: its dim 1 is the PHYSICAL block-pool index,
-    not batch — sharding it over ``data_axis`` would scatter a slot's
-    blocks across devices while its block table stays host-side (the
-    engine enforces paged == single-host for the same reason)."""
+    PagedKVCache shards the KV-HEAD axis (dim 2) of its physical block
+    pool over ``model_axis``: every device holds ALL pool blocks for its
+    heads, so the block-table indirection stays device-local (the tables
+    replicate — any slot may reference any pool block).  Its dim 1 is the
+    physical block-pool index, not batch, so ``data_axis`` never applies
+    to the pool; batch parallelism enters through q/tables/lengths at the
+    attention call (ops/pallas/flash_cached.flash_attention_paged_tp)."""
     from ..models.llama import PagedKVCache
-
-    if isinstance(cache, PagedKVCache):
-        raise TypeError(
-            "PagedKVCache cannot be mesh-sharded (dim 1 is the physical "
-            "block pool, not batch); serve multi-device with "
-            "kv_layout='dense', or keep paged KV single-host"
-        )
 
     def fit(axis, dim):
         if mesh is not None and dim % _axis_size(mesh, axis):
             return None
         return axis
+
+    if isinstance(cache, PagedKVCache):
+
+        def pspec(x):
+            if x.ndim == 5:  # pool payload [L, NB, KVH, BS, hd]
+                return P(None, None, fit(model_axis, x.shape[2]), None, None)
+            if x.ndim == 4:  # int8 pool scales [L, NB, KVH, BS]
+                return P(None, None, fit(model_axis, x.shape[2]), None)
+            return P()  # tables: replicated
+
+        return jax.tree_util.tree_map(pspec, cache)
 
     def spec(x):
         if x.ndim == 5:  # k/v payload

@@ -115,9 +115,11 @@ def _sample_tokens(logits, temps, top_ps, key, pool: int = _DEFAULT_POOL):
 
 
 @partial(
-    jax.jit, static_argnames=("cfg", "S", "sampling", "pool"), donate_argnums=(1,)
+    jax.jit,
+    static_argnames=("cfg", "S", "sampling", "pool", "mesh"),
+    donate_argnums=(1,),
 )
-def _decode_chunk(params, cache, tokens, positions, temps, top_ps, key, *, cfg, S, sampling, pool):
+def _decode_chunk(params, cache, tokens, positions, temps, top_ps, key, *, cfg, S, sampling, pool, mesh=None):
     """S decode steps per host round trip: the host<->device sync per step
     dominates wall clock on remote runtimes (measured 35 tok/s at
     1 step/sync vs ~2.2k tok/s kernel-level), so the inner loop runs
@@ -132,7 +134,9 @@ def _decode_chunk(params, cache, tokens, positions, temps, top_ps, key, *, cfg, 
 
     def step(i, carry):
         toks, cache, pos, out = carry
-        logits, cache = L.forward(params, toks[:, None], cfg, cache=cache, start_pos=pos)
+        logits, cache = L.forward(
+            params, toks[:, None], cfg, cache=cache, start_pos=pos, mesh=mesh
+        )
         if sampling:
             nxt = _sample_tokens(
                 logits[:, 0], temps, top_ps, jax.random.fold_in(key, i), pool=pool
@@ -147,12 +151,14 @@ def _decode_chunk(params, cache, tokens, positions, temps, top_ps, key, *, cfg, 
     return out, cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "pad_len", "sampling", "pool"))
-def _prefill_one(params, cache1, ids_padded, true_len, temp, top_p, key, *, cfg, pad_len, sampling, pool):
+@partial(jax.jit, static_argnames=("cfg", "pad_len", "sampling", "pool", "mesh"))
+def _prefill_one(params, cache1, ids_padded, true_len, temp, top_p, key, *, cfg, pad_len, sampling, pool, mesh=None):
     # run the padded prompt through a single-slot cache; positions beyond
     # true_len hold garbage K/V but are masked by the valid length at
     # decode time
-    logits, cache1 = L.forward(params, ids_padded, cfg, cache=cache1, start_pos=0)
+    logits, cache1 = L.forward(
+        params, ids_padded, cfg, cache=cache1, start_pos=0, mesh=mesh
+    )
     last = logits[0, true_len - 1]
     if sampling:
         nxt = _sample_tokens(
@@ -167,12 +173,12 @@ def _prefill_one(params, cache1, ids_padded, true_len, temp, top_p, key, *, cfg,
     return nxt, cache1
 
 
-@partial(jax.jit, static_argnames=("cfg", "pad_len", "sampling", "pool"))
-def _prefill_batch(params, cache_n, ids, true_lens, temps, top_ps, key, *, cfg, pad_len, sampling, pool):
+@partial(jax.jit, static_argnames=("cfg", "pad_len", "sampling", "pool", "mesh"))
+def _prefill_batch(params, cache_n, ids, true_lens, temps, top_ps, key, *, cfg, pad_len, sampling, pool, mesh=None):
     """Batched prefill: several same-bucket prompts run as ONE forward
     (burst admissions would otherwise pay one program dispatch + its fixed
     per-op overheads per request).  ids [n, pad_len]; true_lens [n]."""
-    logits, cache_n = L.forward(params, ids, cfg, cache=cache_n, start_pos=0)
+    logits, cache_n = L.forward(params, ids, cfg, cache=cache_n, start_pos=0, mesh=mesh)
     last = jnp.take_along_axis(
         logits, (true_lens - 1)[:, None, None], axis=1
     )[:, 0]  # [n, V]
@@ -251,9 +257,9 @@ class ContinuousBatchingEngine:
         ``kv_layout="paged"`` uses a block-table KV pool of ``num_kv_blocks``
         blocks of ``kv_block_size`` tokens (default pool = the dense
         equivalent; size it smaller when live tokens << max_batch*max_len).
-        Admissions that cannot get blocks wait in the queue; if ACTIVE slots
-        cannot grow mid-decode the engine raises (size the pool for the
-        expected live-token total).  Paged is single-host (no ``mesh``).
+        Admissions that cannot get blocks wait in the queue; mid-decode pool
+        exhaustion preempts the youngest slot back to the queue (raises only
+        when a single request alone can never fit the pool).
 
         ``pipeline_depth``: decode chunks in flight before the host blocks
         on results (1 = classic lockstep dispatch-then-sync).  At depth 2
@@ -269,9 +275,12 @@ class ContinuousBatchingEngine:
         optionally ``data``) turns the engine multi-device: the quantized
         params are TP-sharded (packed payload + congruent absmax,
         parallel/sharding.py rules), the KV cache shards its heads over
-        ``model``, and the SAME jitted prefill/decode programs run under
-        GSPMD with XLA inserting the ICI collectives — BASELINE configs
-        #3/#5's serving layout."""
+        ``model`` (for paged, the block POOL's head axis shards and the
+        tables replicate — parallel/sharding.kv_cache_specs), and the SAME
+        jitted prefill/decode programs run under GSPMD with XLA inserting
+        the ICI collectives; the Pallas flash attention runs under
+        shard_map with head-local recurrences (flash_attention_*_tp) —
+        BASELINE configs #3/#5's serving layout."""
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_len = max_len
@@ -279,8 +288,6 @@ class ContinuousBatchingEngine:
         self.mesh = mesh
         if kv_layout not in ("dense", "paged"):
             raise ValueError("kv_layout must be 'dense' or 'paged'")
-        if kv_layout == "paged" and mesh is not None:
-            raise ValueError("paged KV is single-host; use kv_layout='dense' with a mesh")
         self.kv_layout = kv_layout
         self.kv_block_size = kv_block_size
         if kv_layout == "paged":
@@ -503,7 +510,7 @@ class ContinuousBatchingEngine:
             jnp.asarray(temps), jnp.asarray(top_ps), key,
             cfg=self.cfg, pad_len=pad_len,
             sampling=any(r.temperature > 0 for _, r in grp),
-            pool=self.sampling_pool,
+            pool=self.sampling_pool, mesh=self.mesh,
         )
         if self.kv_layout == "paged":
             for i, (b, req) in enumerate(grp):
@@ -547,6 +554,7 @@ class ContinuousBatchingEngine:
             req.temperature, req.top_p, key,
             cfg=self.cfg, pad_len=pad_len,
             sampling=req.temperature > 0.0, pool=self.sampling_pool,
+            mesh=self.mesh,
         )
         if self.kv_layout == "paged":
             self._pack_slot_blocks(b, len(ids), cache1, row=0)
@@ -786,7 +794,7 @@ class ContinuousBatchingEngine:
             self.params, self.cache, tokens, positions,
             self._temps_dev, self._topps_dev, key,
             cfg=self.cfg, S=self.steps_per_sync,
-            sampling=sampling, pool=self.sampling_pool,
+            sampling=sampling, pool=self.sampling_pool, mesh=self.mesh,
         )
         self._last_out = chunk[-1]
         self._disp_lengths[active] += self.steps_per_sync

@@ -159,3 +159,66 @@ def test_long_cached_prefill_chunks_over_T(monkeypatch):
     monkeypatch.setattr(flash_cached, "GT_MAX", 8)  # forces Tc_max=4 -> 3 chunks
     chunked = prefill()
     np.testing.assert_array_equal(whole, chunked)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+@pytest.mark.parametrize("int8", [False, True], ids=["bf16kv", "int8kv"])
+def test_flash_tp_wrappers_match_single_device(int8):
+    """The shard_map TP wrappers (KV heads over 'model', batch over 'data')
+    produce BIT-identical outputs to the unmapped kernels — the multi-device
+    serving attention path (VERDICT r3 item 3; BASELINE config #5).  The
+    per-head online-softmax recurrences are device-local, so no collective
+    enters the mapped body and exactness is structural, not numerical."""
+    from bitsandbytes_tpu import parallel as par
+    from bitsandbytes_tpu.ops.pallas.flash_cached import (
+        flash_attention_cached_tp,
+        flash_attention_paged,
+        flash_attention_paged_tp,
+    )
+
+    mesh = par.make_mesh({"data": 2, "model": 4})
+    Bt, KVHt, Gt, BS = 4, 4, 2, 64
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 6)
+    q = jax.random.normal(ks[0], (Bt, KVHt, Gt, HD), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(ks[1], (Bt, KVHt, S, HD), jnp.float32)
+    v = jax.random.normal(ks[2], (Bt, KVHt, S, HD), jnp.float32)
+    if int8:
+        ksc = jnp.max(jnp.abs(k), axis=-1) / 127.0
+        vsc = jnp.max(jnp.abs(v), axis=-1) / 127.0
+        kq = jnp.round(k / ksc[..., None]).astype(jnp.int8)
+        vq = jnp.round(v / vsc[..., None]).astype(jnp.int8)
+    else:
+        kq, vq, ksc, vsc = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16), None, None
+    lengths = jnp.asarray([3, 100, 200, 255], jnp.int32)
+
+    ref = flash_attention_cached(q, kq, vq, lengths, T=1, k_scale=ksc, v_scale=vsc)
+    got = flash_attention_cached_tp(mesh, q, kq, vq, lengths, T=1, k_scale=ksc, v_scale=vsc)
+    assert (np.asarray(ref) == np.asarray(got)).all()
+
+    # paged: scatter the cache into a shuffled block pool
+    NB, MAXB = Bt * (S // BS) + 3, S // BS
+    perm = np.random.default_rng(0).permutation(NB)[: Bt * MAXB]
+    tables = jnp.asarray(perm.reshape(Bt, MAXB), jnp.int32)
+    pool_shape = (NB, KVHt, BS, HD)
+    pk = jnp.zeros(pool_shape, kq.dtype)
+    pv = jnp.zeros(pool_shape, vq.dtype)
+    pks = jnp.zeros(pool_shape[:-1], jnp.float32) if int8 else None
+    pvs = jnp.zeros(pool_shape[:-1], jnp.float32) if int8 else None
+    for b in range(Bt):
+        for j in range(MAXB):
+            blk = int(tables[b, j])
+            sl = slice(j * BS, (j + 1) * BS)
+            pk = pk.at[blk].set(kq[b, :, sl])
+            pv = pv.at[blk].set(vq[b, :, sl])
+            if int8:
+                pks = pks.at[blk].set(ksc[b, :, sl])
+                pvs = pvs.at[blk].set(vsc[b, :, sl])
+    ref_p = flash_attention_paged(q, pk, pv, tables, lengths, T=1, k_scale=pks, v_scale=pvs)
+    got_p = flash_attention_paged_tp(mesh, q, pk, pv, tables, lengths, T=1, k_scale=pks, v_scale=pvs)
+    assert (np.asarray(ref_p) == np.asarray(got_p)).all()
+    # and the paged walk agrees with the contiguous cache (same tokens route)
+    ref_c = flash_attention_cached(q, kq, vq, lengths, T=1, k_scale=ksc, v_scale=vsc)
+    np.testing.assert_allclose(
+        np.asarray(ref_p, np.float32), np.asarray(ref_c, np.float32), rtol=0.05, atol=0.05
+    )

@@ -277,13 +277,25 @@ def test_kshard_blocks_must_divide(mesh):
     assert specs.data == P(None, None)
 
 
-def test_kv_cache_specs_rejects_paged():
+def test_kv_cache_specs_paged_shards_heads_not_pool():
     """PagedKVCache dim 1 is the physical block pool, not batch — the
-    sharding helper must refuse rather than scatter a slot's blocks."""
+    specs must leave it (and the tables) unsharded and split only the
+    KV-HEAD axis over 'model' (VERDICT r3 item 3: multi-device paged
+    serving).  Head counts that don't divide the mesh replicate."""
     from bitsandbytes_tpu.models import llama as L
     from bitsandbytes_tpu.parallel.sharding import kv_cache_specs
+    from bitsandbytes_tpu.parallel import make_mesh
 
-    cfg = L.LlamaConfig.tiny()
-    cache = L.init_paged_kv_cache(cfg, 2, 64, 8, 16, "bf16")
-    with pytest.raises(TypeError, match="PagedKVCache"):
-        kv_cache_specs(cache)
+    cfg = L.LlamaConfig.tiny()  # num_kv_heads = 2
+    cache = L.init_paged_kv_cache(cfg, 2, 64, 8, 16, "int8")
+    mesh = make_mesh({"data": 2, "model": 2})
+    specs = kv_cache_specs(cache, mesh=mesh)
+    assert specs.k == P(None, None, "model", None, None)
+    assert specs.v == P(None, None, "model", None, None)
+    assert specs.k_scale == P(None, None, "model", None)
+    assert specs.tables == P()
+    # non-dividing head count falls back to replication
+    mesh3 = make_mesh({"model": 4}) if len(jax.devices()) >= 4 else None
+    if mesh3 is not None:
+        specs3 = kv_cache_specs(cache, mesh=mesh3)
+        assert specs3.k == P(None, None, None, None, None)

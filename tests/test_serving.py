@@ -593,3 +593,33 @@ def test_mistral_sliding_window_paged_matches_dense():
     eng_nw = ContinuousBatchingEngine(qparams, cfg_nw, max_batch=3, max_len=64)
     nw = {r.request_id: r.tokens for r in eng_nw.generate(prompts, max_new_tokens=n_new)}
     assert nw != dense, "sliding window never engaged: test is vacuous"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_engine_paged_tp_sharded_matches_single_device(setup):
+    """Paged int8-KV engine on a dp=2 x tp=2 mesh produces the same greedy
+    tokens as the single-device paged engine, with the block POOL's KV-head
+    axis sharded over 'model' and the tables replicated (VERDICT r3 item 3:
+    paged memory and TP sharding are no longer mutually exclusive)."""
+    from bitsandbytes_tpu import parallel as par
+
+    cfg, qparams = setup
+    prompts = [[1, 2, 3, 4], [5, 6], [7, 8, 9]]
+
+    eng1 = ContinuousBatchingEngine(
+        qparams, cfg, max_batch=4, max_len=64, steps_per_sync=2,
+        kv_layout="paged", kv_block_size=16, kv_dtype="int8",
+    )
+    ref = eng1.generate(prompts, max_new_tokens=6)
+
+    mesh = par.make_mesh({"data": 2, "model": 2})
+    eng2 = ContinuousBatchingEngine(
+        qparams, cfg, max_batch=4, max_len=64, steps_per_sync=2,
+        kv_layout="paged", kv_block_size=16, kv_dtype="int8", mesh=mesh,
+    )
+    out = eng2.generate(prompts, max_new_tokens=6)
+    for r1, r2 in zip(ref, out):
+        assert r1.tokens == r2.tokens, (r1.tokens, r2.tokens)
+    # the pool really is head-sharded over 'model' (dim 2 of [L, NB, KVH, ...])
+    assert not eng2.cache.k.sharding.is_fully_replicated
+    assert len(eng2.cache.k.sharding.device_set) == mesh.devices.size

@@ -118,13 +118,40 @@ def _pallas_ok(code, n, blocksize) -> bool:
     )
 
 
-def _quantize_dispatch(A, code, blocksize):
+def _quantize_dispatch(A, code, blocksize, stochastic_key=None):
     if _pallas_ok(code, A.size, blocksize):
         from ..ops.pallas.blockwise8 import quantize_blockwise_pallas
 
         code_t = tuple(float(x) for x in np.asarray(code).reshape(-1)[:256])
-        return quantize_blockwise_pallas(A, code_t=code_t, blocksize=blocksize)
-    return quantize_blockwise_with_code(A, code, blocksize)
+        if stochastic_key is None:
+            return quantize_blockwise_pallas(A, code_t=code_t, blocksize=blocksize), False
+        if jax.default_backend() not in ("cpu", "gpu"):
+            # on-core PRNG: the stochastic move happens in the SAME VMEM
+            # pass as absmax+rank (reference STOCHASTIC kernel template,
+            # kernels.cu:269-375); no HBM traffic for the random stream
+            kd = (
+                jax.random.key_data(stochastic_key)
+                if jnp.issubdtype(stochastic_key.dtype, jax.dtypes.prng_key)
+                else stochastic_key
+            )
+            seed = jnp.asarray(kd, jnp.uint32).reshape(-1)[:2].astype(jnp.int32)
+            return (
+                quantize_blockwise_pallas(
+                    A, code_t=code_t, blocksize=blocksize, stochastic_seed=seed
+                ),
+                True,
+            )
+        # interpret tier: uniforms from the SAME jax.random stream as the
+        # jnp oracle, applied in-kernel — bit-identical to
+        # _stochastic_requant (tested)
+        u = jax.random.uniform(stochastic_key, (A.size,))
+        return (
+            quantize_blockwise_pallas(
+                A, code_t=code_t, blocksize=blocksize, stochastic_u=u
+            ),
+            True,
+        )
+    return quantize_blockwise_with_code(A, code, blocksize), False
 
 
 _warned_traced_code = False
@@ -189,8 +216,11 @@ def quantize_blockwise(
     nested (double) quantization of the absmax at blocksize 256 with mean
     offset.  Passing ``stochastic_key`` enables stochastic rounding
     (distance-proportional move to the adjacent code entry — the reference's
-    STOCHASTIC kernel template; in JAX the randomness source is an explicit
-    PRNG key).
+    STOCHASTIC kernel template, kernels.cu:269-375; in JAX the randomness
+    source is an explicit PRNG key).  On the Pallas tier the stochastic move
+    happens inside the quantize kernel's single VMEM pass (on-core PRNG on
+    TPU; oracle-identical uniforms on interpret backends); the jnp tier
+    applies :func:`_stochastic_requant` after the deterministic pass.
     """
     if blocksize not in VALID_BLOCKSIZES:
         raise ValueError(f"blocksize {blocksize} not in {VALID_BLOCKSIZES}")
@@ -198,8 +228,8 @@ def quantize_blockwise(
         # numpy, NOT jnp.asarray: under jit the lifted constant would look
         # like a tracer to the dispatcher and lose the Pallas route
         code = create_dynamic_map()
-    q, absmax = _quantize_dispatch(A, code, blocksize)
-    if stochastic_key is not None:
+    (q, absmax), stoch_done = _quantize_dispatch(A, code, blocksize, stochastic_key)
+    if stochastic_key is not None and not stoch_done:
         q = _stochastic_requant(A, code, q, blocksize, stochastic_key)
     if nested:
         offset = jnp.mean(absmax)

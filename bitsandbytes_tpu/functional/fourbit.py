@@ -98,7 +98,9 @@ def unpack_4bit(packed: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
-def _quantize_4bit_impl(A, midpoints, order, blocksize, quant_type, pack_mode="flat"):
+def _quantize_4bit_impl(
+    A, midpoints, order, blocksize, quant_type, pack_mode="flat", stochastic_key=None
+):
     flat = A.reshape(-1).astype(jnp.float32)
     n = flat.shape[0]
     rem = n % blocksize
@@ -118,6 +120,23 @@ def _quantize_4bit_impl(A, midpoints, order, blocksize, quant_type, pack_mode="f
     rank = jnp.zeros(scaled.shape, jnp.uint8)
     for i in range(midpoints.shape[0]):
         rank = rank + (scaled > midpoints[i]).astype(jnp.uint8)
+    if stochastic_key is not None:
+        # distance-proportional move to the VALUE-adjacent entry, in rank
+        # (value-sorted) space — before the bit-pattern order map.  Oracle
+        # for the Pallas kernel's stochastic mode (quant4bit.py).
+        sorted_code = jnp.sort(
+            jnp.asarray(get_4bit_code(quant_type, blocksize), jnp.float32)
+        )
+        r32 = rank.astype(jnp.int32)
+        lower = jnp.take(sorted_code, r32)
+        nbr = jnp.clip(r32 + jnp.where(scaled > lower, 1, -1), 0, 15)
+        nval = jnp.take(sorted_code, nbr)
+        gap = jnp.abs(nval - lower)
+        p_move = jnp.where(
+            gap > 0, jnp.abs(scaled - lower) / jnp.maximum(gap, 1e-20), 0.0
+        )
+        u = jax.random.uniform(stochastic_key, scaled.shape)
+        rank = jnp.where(u < p_move, nbr, r32).astype(jnp.uint8)
     if quant_type != "nf4":  # nf4 code is sorted: rank == bit pattern
         rank = jnp.take(order, rank.astype(jnp.int32))
     if pack_mode == "paired":
@@ -138,6 +157,7 @@ def quantize_4bit(
     compress_statistics: bool = False,
     quant_storage=jnp.uint8,
     layout: str = "flat",
+    stochastic_key: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, QuantState]:
     """Quantize to a packed 4-bit representation.
 
@@ -157,6 +177,13 @@ def quantize_4bit(
     (the fused kernel decodes them in-kernel); the second-level 256-block
     grouping stays defined on the flat canonical order, and serialization
     canonicalizes the codes back to it.
+
+    ``stochastic_key`` enables stochastic rounding (distance-proportional
+    move to the value-adjacent code entry; the reference wires stochastic
+    only into its 8-bit quantize template, kernels.cu:269-375 — this is the
+    TPU-native 4-bit extension, e.g. for low-precision gradient
+    accumulation).  On the Pallas tier the uniforms come from the on-core
+    PRNG inside the quantize kernel's single VMEM pass.
     """
     if blocksize not in VALID_4BIT_BLOCKSIZES:
         raise ValueError(f"blocksize {blocksize} not in {VALID_4BIT_BLOCKSIZES}")
@@ -194,8 +221,24 @@ def quantize_4bit(
 
         if pallas_quant4bit_supported(A.shape[0], A.shape[1], blocksize):
             code_t = tuple(float(x) for x in get_4bit_code(quant_type, blocksize))
+            skw = {}
+            if stochastic_key is not None:
+                if jax.default_backend() not in ("cpu", "gpu"):
+                    kd = (
+                        jax.random.key_data(stochastic_key)
+                        if jnp.issubdtype(stochastic_key.dtype, jax.dtypes.prng_key)
+                        else stochastic_key
+                    )
+                    skw["stochastic_seed"] = (
+                        jnp.asarray(kd, jnp.uint32).reshape(-1)[:2].astype(jnp.int32)
+                    )
+                else:
+                    # interpret tier: oracle-identical jax.random uniforms
+                    skw["stochastic_u"] = jax.random.uniform(
+                        stochastic_key, (A.shape[0] * A.shape[1],)
+                    )
             codes, am2d = quantize_4bit_codes_pallas(
-                A, code_t=code_t, blocksize=blocksize
+                A, code_t=code_t, blocksize=blocksize, **skw
             )
             absmax = am2d.reshape(-1)
             if pack_mode == "paired":
@@ -225,7 +268,9 @@ def quantize_4bit(
         packed_parts, absmax_parts = [], []
         for i in range(0, N_, slab):
             p_i, am_i = _quantize_4bit_impl(
-                A[i : i + slab], midpoints, order, blocksize, quant_type, pack_mode
+                A[i : i + slab], midpoints, order, blocksize, quant_type, pack_mode,
+                stochastic_key=None if stochastic_key is None
+                else jax.random.fold_in(stochastic_key, i),
             )
             packed_parts.append(p_i)
             absmax_parts.append(am_i)
@@ -233,7 +278,8 @@ def quantize_4bit(
         absmax = jnp.concatenate(absmax_parts, axis=0)
     else:
         packed, absmax = _quantize_4bit_impl(
-            A, midpoints, order, blocksize, quant_type, pack_mode
+            A, midpoints, order, blocksize, quant_type, pack_mode,
+            stochastic_key=stochastic_key,
         )
     return _finish_quantize_4bit(
         A, packed, absmax, layout, quant_type, blocksize,

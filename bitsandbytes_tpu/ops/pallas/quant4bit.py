@@ -53,7 +53,44 @@ def _order_tree(rank, order: np.ndarray):
     return tree(0, 16)
 
 
-def _q4_kernel(x_ref, q_ref, am_ref, *, midpoints, order, blocksize, identity_order):
+def _val_tree16(rank, values: np.ndarray):
+    """rank (0..15) -> f32 codebook value via a 15-select tree (no gather)."""
+    def tree(lo, hi):
+        if hi - lo == 1:
+            return jnp.full(rank.shape, np.float32(values[lo]), jnp.float32)
+        mid = (lo + hi) // 2
+        return jnp.where(rank < mid, tree(lo, mid), tree(mid, hi))
+
+    return tree(0, 16)
+
+
+def _stochastic_move16(rank, scaled, u, sorted_code: np.ndarray):
+    """Distance-proportional move to the value-adjacent code entry, in RANK
+    (value-sorted) space — the 4-bit analog of the reference STOCHASTIC
+    8-bit template (kernels.cu:269-375; the reference wires stochastic only
+    for General8bit — this is the TPU-native extension to 4-bit)."""
+    lower = _val_tree16(rank, sorted_code)
+    nbr = jnp.clip(rank + jnp.where(scaled > lower, 1, -1), 0, 15)
+    nval = _val_tree16(nbr, sorted_code)
+    gap = jnp.abs(nval - lower)
+    p_move = jnp.where(
+        gap > 0, jnp.abs(scaled - lower) / jnp.maximum(gap, 1e-20), 0.0
+    )
+    return jnp.where(u < p_move, nbr, rank)
+
+
+def _q4_kernel(
+    x_ref, *rest, midpoints, order, blocksize, identity_order, sorted_code, stochastic
+):
+    if stochastic == "seed":
+        seed_ref, q_ref, am_ref = rest
+        u_ref = None
+    elif stochastic == "u":
+        u_ref, q_ref, am_ref = rest
+        seed_ref = None
+    else:
+        q_ref, am_ref = rest
+        seed_ref = u_ref = None
     x = x_ref[:].astype(jnp.float32)
     TK = x.shape[1]
     nb = TK // blocksize
@@ -73,6 +110,22 @@ def _q4_kernel(x_ref, q_ref, am_ref, *, midpoints, order, blocksize, identity_or
     scale_full = jnp.concatenate(scale_parts, axis=1) if nb > 1 else scale_parts[0]
     scaled = jnp.clip(x * scale_full, -1.0, 1.0)
     q = _rank16(scaled, midpoints)
+    if stochastic:
+        if stochastic == "seed":
+            # Mosaic caps prng_seed at 2 words: mix the grid step into
+            # the second (Knuth multiplicative hash, wrapping int32)
+            pltpu.prng_seed(
+                seed_ref[0], seed_ref[1] ^ (pl.program_id(0) * -1640531527)
+            )
+            bits = pltpu.prng_random_bits(scaled.shape)
+            # int32 bitcast + logical shift: Mosaic has no uint32 -> f32 cast
+            bits_i32 = bits.astype(jnp.int32) if bits.dtype != jnp.int32 else bits
+            u = jax.lax.shift_right_logical(bits_i32, 8).astype(
+                jnp.float32
+            ) * np.float32(2.0**-24)
+        else:
+            u = u_ref[:]
+        q = _stochastic_move16(q, scaled, u, sorted_code)
     if not identity_order:
         q = _order_tree(q, order)
     q_ref[:] = q.astype(jnp.uint8)
@@ -101,8 +154,13 @@ def pallas_quant4bit_supported(N: int, K: int, blocksize: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("code_t", "blocksize"))
-def quantize_4bit_codes_pallas(W, *, code_t, blocksize):
-    """W [N, K] -> (codes uint8 [N, K], absmax f32 [N, K/bs]); one HBM pass."""
+def quantize_4bit_codes_pallas(W, *, code_t, blocksize, stochastic_seed=None, stochastic_u=None):
+    """W [N, K] -> (codes uint8 [N, K], absmax f32 [N, K/bs]); one HBM pass.
+
+    ``stochastic_seed`` ([2] int32; TPU): distance-proportional stochastic
+    rounding with uniforms from the on-core PRNG, drawn in the same VMEM
+    pass.  ``stochastic_u`` (f32 [N, K]): uniforms supplied by the caller
+    (interpret tier / oracle-exact tests)."""
     N, K = W.shape
     code = np.asarray(code_t, np.float32)
     order = np.argsort(code, kind="stable").astype(np.int32)
@@ -111,6 +169,19 @@ def quantize_4bit_codes_pallas(W, *, code_t, blocksize):
     identity_order = bool(np.array_equal(order, np.arange(16)))
     TN, TK = _tiles_q4(N, K, blocksize)
     nb = TK // blocksize
+    if stochastic_seed is not None:
+        mode = "seed"
+        extra_args = [stochastic_seed.astype(jnp.int32)]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    elif stochastic_u is not None:
+        mode = "u"
+        extra_args = [stochastic_u.reshape(N, K).astype(jnp.float32)]
+        extra_specs = [
+            pl.BlockSpec((TN, TK), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+    else:
+        mode = None
+        extra_args, extra_specs = [], []
     q, am = pl.pallas_call(
         functools.partial(
             _q4_kernel,
@@ -118,11 +189,14 @@ def quantize_4bit_codes_pallas(W, *, code_t, blocksize):
             order=order,
             blocksize=blocksize,
             identity_order=identity_order,
+            sorted_code=sorted_code,
+            stochastic=mode,
         ),
         grid=(N // TN,),
         in_specs=[
             pl.BlockSpec((TN, TK), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        ]
+        + extra_specs,
         out_specs=[
             pl.BlockSpec((TN, TK), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TN, nb), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -132,5 +206,5 @@ def quantize_4bit_codes_pallas(W, *, code_t, blocksize):
             jax.ShapeDtypeStruct((N, K // blocksize), jnp.float32),
         ],
         interpret=_interpret(),
-    )(W)
+    )(W, *extra_args)
     return q, am

@@ -197,10 +197,10 @@ def make_optimizer(
                     max_unorm=max_unorm,
                     param_norm=param_norm,
                 )
-                s1, am1 = _quantize_dispatch(s1f, qmap1, bs)
+                (s1, am1), _ = _quantize_dispatch(s1f, qmap1, bs)
                 new_leaf = dict(leaf, state1=s1, absmax1=am1)
                 if s2f is not None:
-                    s2, am2 = _quantize_dispatch(s2f, qmap2, bs)
+                    (s2, am2), _ = _quantize_dispatch(s2f, qmap2, bs)
                     new_leaf.update(state2=s2, absmax2=am2)
                 update = (new_p.astype(jnp.float32) - p.astype(jnp.float32)).astype(p.dtype)
                 return update, new_leaf

@@ -446,3 +446,65 @@ def test_blockwise8_quantize_kernel_in_loop():
 
     v = float(loop(x))
     assert np.isfinite(v)
+
+
+def test_stochastic_pallas_kernel_bit_identical_to_oracle():
+    """The Pallas quantize kernels' stochastic mode (uniforms supplied, the
+    interpret-tier route) is BIT-identical to the jnp oracle's
+    _stochastic_requant with the same PRNG key — the move logic itself is
+    tier-independent; only the uniform SOURCE differs on TPU (on-core
+    pltpu.prng_random_bits, VERDICT r3 item 10 / reference STOCHASTIC
+    template kernels.cu:269-375)."""
+    from bitsandbytes_tpu.functional.blockwise import quantize_blockwise
+    from bitsandbytes_tpu.functional.fourbit import quantize_4bit
+    from bitsandbytes_tpu.ops import dispatch
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (16 * 256,), jnp.float32)
+    W = jax.random.normal(jax.random.PRNGKey(1), (64, 256), jnp.float32)
+    key = jax.random.PRNGKey(9)
+    old = dispatch.backend()
+    try:
+        dispatch.set_backend("reference")
+        q_ref, st_ref = quantize_blockwise(x, blocksize=256, stochastic_key=key)
+        p4_ref, _ = quantize_4bit(W, blocksize=64, layout="2d", stochastic_key=key)
+        f4_ref, _ = quantize_4bit(
+            W, blocksize=64, quant_type="fp4", layout="2d", stochastic_key=key
+        )
+        dispatch.set_backend("pallas")
+        q_pal, st_pal = quantize_blockwise(x, blocksize=256, stochastic_key=key)
+        p4_pal, _ = quantize_4bit(W, blocksize=64, layout="2d", stochastic_key=key)
+        f4_pal, _ = quantize_4bit(
+            W, blocksize=64, quant_type="fp4", layout="2d", stochastic_key=key
+        )
+    finally:
+        dispatch.set_backend(old)
+    np.testing.assert_array_equal(np.asarray(q_ref), np.asarray(q_pal))
+    np.testing.assert_array_equal(np.asarray(st_ref.absmax), np.asarray(st_pal.absmax))
+    np.testing.assert_array_equal(np.asarray(p4_ref), np.asarray(p4_pal))
+    np.testing.assert_array_equal(np.asarray(f4_ref), np.asarray(f4_pal))
+    # and the stochastic draw actually moved a healthy fraction of codes
+    q_det, _ = quantize_blockwise(x, blocksize=256)
+    moved = (np.asarray(q_pal) != np.asarray(q_det)).mean()
+    assert 0.05 < moved < 0.5, moved
+
+
+def test_stochastic_4bit_unbiased():
+    """Averaged stochastic 4-bit quantization approaches the true values
+    (unbiasedness), and beats deterministic rounding's bias (fp4 codebook
+    exercises the rank->bit-pattern order map under the stochastic move)."""
+    from bitsandbytes_tpu.functional.fourbit import dequantize_4bit, quantize_4bit
+
+    xs = jax.random.uniform(jax.random.PRNGKey(5), (64, 64), jnp.float32) * 0.5 + 0.1
+    det_p, det_s = quantize_4bit(xs, blocksize=64, quant_type="fp4")
+    det = np.asarray(dequantize_4bit(det_p, det_s))
+    acc = np.zeros_like(np.asarray(xs))
+    R = 48
+    for i in range(R):
+        p_i, s_i = quantize_4bit(
+            xs, blocksize=64, quant_type="fp4",
+            stochastic_key=jax.random.PRNGKey(100 + i),
+        )
+        acc += np.asarray(dequantize_4bit(p_i, s_i))
+    acc /= R
+    x_np = np.asarray(xs)
+    assert abs(acc - x_np).mean() < 0.5 * abs(det - x_np).mean()

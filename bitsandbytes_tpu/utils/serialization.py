@@ -66,9 +66,15 @@ def _np_safe(a) -> np.ndarray:
     return a
 
 
-def state_dict_from_params(params: Any) -> dict:
-    """Flatten a (possibly quantized) param tree to ``{name: np.ndarray}``."""
+def state_dict_from_params(params: Any, widen_ml_dtypes: bool = True) -> dict:
+    """Flatten a (possibly quantized) param tree to ``{name: np.ndarray}``.
+
+    ``widen_ml_dtypes=False`` keeps bf16/fp8 leaves in their storage dtype
+    (safetensors serializes BF16 natively — HF quantized checkpoints ship
+    bf16 tensors; the npz container needs the float32 widening).
+    """
     out = {}
+    safe = _np_safe if widen_ml_dtypes else np.asarray
 
     def visit(path, leaf):
         key = _path_str(path)
@@ -78,14 +84,14 @@ def state_dict_from_params(params: Any) -> dict:
             # (reference backends/cuda/ops.py:392); the TPU 'paired' decode
             # layout is relaid out on save so checkpoints stay portable
             canon = leaf.to_layout("flat") if leaf.state.layout == "paired" else leaf
-            out[key] = _np_safe(canon.data).reshape(-1, 1)
+            out[key] = safe(canon.data).reshape(-1, 1)
             for comp, arr in canon.state.as_dict(packed=True).items():
-                out[f"{key}.{comp}"] = _np_safe(arr)
+                out[f"{key}.{comp}"] = safe(arr)
         elif isinstance(leaf, Int8TensorState):
-            out[key] = _np_safe(leaf.CB)
-            out[f"{key}.SCB"] = _np_safe(leaf.SCB)
+            out[key] = safe(leaf.CB)
+            out[f"{key}.SCB"] = safe(leaf.SCB)
         elif leaf is not None:
-            out[key] = _np_safe(leaf)
+            out[key] = safe(leaf)
         return leaf
 
     jax.tree_util.tree_map_with_path(visit, params, is_leaf=_is_q)
@@ -201,7 +207,10 @@ def save_checkpoint_safetensors(path: str, params: Any, metadata: Optional[dict]
     safetensors in this layout)."""
     from safetensors.numpy import save_file
 
-    sd = {k: np.ascontiguousarray(v) for k, v in state_dict_from_params(params).items()}
+    sd = {
+        k: np.ascontiguousarray(v)
+        for k, v in state_dict_from_params(params, widen_ml_dtypes=False).items()
+    }
     save_file(sd, path, metadata=metadata)
 
 

@@ -22,6 +22,7 @@ from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import logging
+import os
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +77,7 @@ def state_dequant_blocks(codes2d, absmax_col, table, code_np):
     return vals * absmax_col
 
 
-def state_requant_blocks(x2d, table, code_np, fixup: bool):
+def state_requant_blocks(x2d, table, code_np, fixup: bool, am=None):
     """Requantize fp32 state values ``[NB, 256]``.  Returns (uint8 codes,
     raw absmax ``[NB, 1]``).
 
@@ -84,8 +85,13 @@ def state_requant_blocks(x2d, table, code_np, fixup: bool):
     +/-1 when the quantized slot's sign differs from the value's — applied
     only for signed codebooks, matching the CUDA kernel (state2's unsigned
     map never needs it).
+
+    ``am``: precomputed block absmax ``[NB, 1]`` (the two-pass route
+    computes it in a separate fusion so this pass can rematerialize its
+    input from the raw optimizer inputs instead of re-reading f32 states).
     """
-    am = jnp.max(jnp.abs(x2d), axis=-1, keepdims=True)
+    if am is None:
+        am = jnp.max(jnp.abs(x2d), axis=-1, keepdims=True)
     scale = 1.0 / jnp.clip(am, _ABSMAX_EPS, None)
     scaled = jnp.clip(x2d * scale, -1.0, 1.0)
     if isinstance(table, SymSegmentTable):
@@ -464,49 +470,93 @@ def _optimizer_update_8bit_seg(
     p2 = to2(p).astype(jnp.float32)
 
     if optimizer_name == "ademamix":
-        s1 = jnp.stack(
-            [
-                state_dequant_blocks(to2(state1[0], zero1), absmax1[0].reshape(NB, 1), table1, code1_t),
-                state_dequant_blocks(to2(state1[1], zero1), absmax1[1].reshape(NB, 1), table1, code1_t),
-            ]
+        c1 = (to2(state1[0], zero1), to2(state1[1], zero1))
+        a1 = (absmax1[0].reshape(NB, 1), absmax1[1].reshape(NB, 1))
+    else:
+        c1 = to2(state1, zero1)
+        a1 = absmax1.reshape(NB, 1)
+    c2 = to2(state2, zero2) if state2 is not None else None
+    a2 = absmax2.reshape(NB, 1) if state2 is not None else None
+
+    def chain(g2, p2, c1, a1, c2, a2):
+        """dequant -> fp32 update -> nonfinite guard: the elementwise
+        chain from the raw 8-bit inputs to the new fp32 values."""
+        if optimizer_name == "ademamix":
+            s1 = jnp.stack(
+                [
+                    state_dequant_blocks(c1[0], a1[0], table1, code1_t),
+                    state_dequant_blocks(c1[1], a1[1], table1, code1_t),
+                ]
+            )
+        else:
+            s1 = state_dequant_blocks(c1, a1, table1, code1_t)
+        s2 = None
+        if c2 is not None:
+            s2 = state_dequant_blocks(c2, a2, table2, code2_t)
+
+        new_p, new_s1, new_s2 = _core_update(
+            optimizer_name, g2, p2, s1, s2,
+            beta1=beta1, beta2=beta2, beta3=beta3, alpha=alpha, eps=eps,
+            weight_decay=weight_decay, step=step, lr=lr,
+            update_scale=jnp.float32(1.0),
         )
+
+        finite = jnp.isfinite(g2)
+        new_p = jnp.where(finite, new_p, p2)
+        if optimizer_name == "ademamix":
+            new_s1 = jnp.where(finite[None], new_s1, 0.0)
+        else:
+            new_s1 = jnp.where(finite, new_s1, 0.0)
+        if new_s2 is not None:
+            new_s2 = jnp.where(finite, new_s2, 0.0)
+        return new_p, new_s1, new_s2
+
+    new_p, new_s1, new_s2 = chain(g2, p2, c1, a1, c2, a2)
+
+    # Two-pass requant (default ON): XLA cannot fuse the block-absmax
+    # reduce with its requant consumer into one loop nest, so the requant
+    # pass re-reads the new f32 state values from HBM (16 bytes/param for
+    # Adam — more than the whole useful traffic of the op).  Instead:
+    # pass A emits new_p + the block absmaxes only; pass B RECOMPUTES the
+    # update chain from the raw 8-bit inputs (cheap ALU, ~10 bytes/param
+    # re-read) behind an optimization_barrier (which blocks CSE with pass
+    # A without blocking fusion inside each pass) and requantizes against
+    # pass-A's absmaxes.  Bit-identical by construction: both passes
+    # evaluate the same pure function of the same inputs.
+    # (reference one-pass analog: csrc/kernels.cu:914-1147 reduces absmax
+    # in-block in shared memory.)  BNB_OPT8_TWOPASS=0 restores the single
+    # materializing pass.
+    twopass = os.environ.get("BNB_OPT8_TWOPASS", "1") == "1"
+    if twopass:
+        bam = lambda x: jnp.max(jnp.abs(x), axis=-1, keepdims=True)  # noqa: E731
+        am1 = bam(new_s1)
+        am2 = bam(new_s2) if new_s2 is not None else None
+        gb, pb, c1b, a1b, c2b, a2b = jax.lax.optimization_barrier(
+            (g2, p2, c1, a1, c2, a2)
+        )
+        _, new_s1, new_s2 = chain(gb, pb, c1b, a1b, c2b, a2b)
     else:
-        s1 = state_dequant_blocks(to2(state1, zero1), absmax1.reshape(NB, 1), table1, code1_t)
-    s2 = None
-    if state2 is not None:
-        s2 = state_dequant_blocks(to2(state2, zero2), absmax2.reshape(NB, 1), table2, code2_t)
-
-    new_p, new_s1, new_s2 = _core_update(
-        optimizer_name, g2, p2, s1, s2,
-        beta1=beta1, beta2=beta2, beta3=beta3, alpha=alpha, eps=eps,
-        weight_decay=weight_decay, step=step, lr=lr,
-        update_scale=jnp.float32(1.0),
-    )
-
-    finite = jnp.isfinite(g2)
-    new_p = jnp.where(finite, new_p, p2)
-    if optimizer_name == "ademamix":
-        new_s1 = jnp.where(finite[None], new_s1, 0.0)
-    else:
-        new_s1 = jnp.where(finite, new_s1, 0.0)
-    if new_s2 is not None:
-        new_s2 = jnp.where(finite, new_s2, 0.0)
+        am1 = am2 = None
 
     if optimizer_name == "ademamix":
-        q1_1, am1_1 = state_requant_blocks(new_s1[0], table1, code1_t, fixup)
-        q1_2, am1_2 = state_requant_blocks(new_s1[1], table1, code1_t, fixup)
+        q1_1, am1_1 = state_requant_blocks(
+            new_s1[0], table1, code1_t, fixup, am=None if am1 is None else am1[0]
+        )
+        q1_2, am1_2 = state_requant_blocks(
+            new_s1[1], table1, code1_t, fixup, am=None if am1 is None else am1[1]
+        )
         new_state1 = jnp.stack([un2(q1_1), un2(q1_2)])
         new_absmax1 = jnp.stack([am1_1.reshape(-1), am1_2.reshape(-1)])
     else:
-        q1, am1 = state_requant_blocks(new_s1, table1, code1_t, fixup)
+        q1, am1_ = state_requant_blocks(new_s1, table1, code1_t, fixup, am=am1)
         new_state1 = un2(q1)
-        new_absmax1 = am1.reshape(-1)
+        new_absmax1 = am1_.reshape(-1)
     new_state2 = new_absmax2 = None
     if new_s2 is not None:
         # unsigned second-moment map: the CUDA kernel skips the fixup there
-        q2_, am2 = state_requant_blocks(new_s2, table2, code2_t, False)
+        q2_, am2_ = state_requant_blocks(new_s2, table2, code2_t, False, am=am2)
         new_state2 = un2(q2_)
-        new_absmax2 = am2.reshape(-1)
+        new_absmax2 = am2_.reshape(-1)
 
     return un2(new_p, p_dtype), new_state1, new_state2, new_absmax1, new_absmax2
 

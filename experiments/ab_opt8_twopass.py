@@ -1,0 +1,94 @@
+"""A/B: 8-bit Adam 64M — single-pass vs two-pass (barrier-recompute) requant
+in the fused-XLA segment tier, interleaved with the 32-bit path
+(VERDICT r3 item 4: close the 8-bit optimizer to <=1.0x of 32-bit).
+
+The single-pass route lets XLA materialize the new f32 state values
+between the block-absmax reduce and the requant consumer (a reduce cannot
+fuse with a consumer that re-reads its input), costing ~16 extra bytes/
+param of HBM traffic for Adam.  The two-pass route computes absmax in
+pass A (emitting only new_p + [NB] absmaxes) and RECOMPUTES the update
+chain from the raw ~10 bytes/param of inputs behind an
+optimization_barrier in pass B.  Bit-identical by construction (verified
+in-process below and cross-process in the commit).
+
+BNB_OPT8_TWOPASS is read at trace time inside _optimizer_update_8bit_seg,
+so each variant gets a fresh jit (device_loop_time re-traces per call).
+"""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+from bitsandbytes_tpu.functional.codebooks import create_dynamic_map
+from bitsandbytes_tpu.functional import optim_update as OU
+from bitsandbytes_tpu.utils.benchmark import device_loop_time
+
+N = 64 * 1024 * 1024
+print("backend:", jax.default_backend(), flush=True)
+rng = np.random.default_rng(0)
+g = jnp.asarray(rng.standard_normal(N) * 0.01, jnp.float32)
+p = jnp.asarray(rng.standard_normal(N), jnp.float32)
+s1 = jnp.asarray(rng.integers(0, 256, N), jnp.uint8)
+s2 = jnp.asarray(rng.integers(0, 256, N), jnp.uint8)
+am1 = jnp.asarray(rng.random(N // 256) * 0.01 + 1e-5, jnp.float32)
+am2 = jnp.asarray(rng.random(N // 256) * 0.001 + 1e-6, jnp.float32)
+code1 = tuple(float(x) for x in np.asarray(create_dynamic_map(signed=True)))
+code2 = tuple(float(x) for x in np.asarray(create_dynamic_map(signed=False)))
+
+a = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.bfloat16)
+sec = device_loop_time(lambda a: jnp.tanh(a @ a), (a,), iters=10)
+print(f"canary: {sec*1e6:.0f} us ({2*4096**3/sec/1e12:.0f} TFLOPs)", flush=True)
+
+
+def step8(g, p, s1, s2, am1, am2):
+    return OU._optimizer_update_8bit_seg(
+        "adam", g, p, s1, s2, am1, am2,
+        code1_t=code1, code2_t=code2, fixup=True,
+        beta1=0.9, beta2=0.999, eps=1e-8, step=10, lr=1e-3,
+    )
+
+
+def timed8(twopass: bool):
+    os.environ["BNB_OPT8_TWOPASS"] = "1" if twopass else "0"
+    return device_loop_time(step8, (g, p, s1, s2, am1, am2), iters=10)
+
+
+m = jnp.zeros((N,), jnp.float32)
+v = jnp.zeros((N,), jnp.float32)
+
+
+def step32(g, p, m, v):
+    return OU.optimizer_update_32bit(
+        "adam", g, p, m, v, beta1=0.9, beta2=0.999, eps=1e-8, step=10, lr=1e-3,
+    )
+
+
+res = {"onepass": [], "twopass": [], "32bit": []}
+for cyc in range(3):
+    res["onepass"].append(timed8(False))
+    res["twopass"].append(timed8(True))
+    res["32bit"].append(device_loop_time(step32, (g, p, m, v), iters=10))
+    print(
+        f"cycle {cyc}: "
+        + "  ".join(f"{k} {v_[-1]*1e3:6.2f}ms" for k, v_ in res.items()),
+        flush=True,
+    )
+
+meds = {k: float(np.median(v_)) for k, v_ in res.items()}
+print("medians: " + "  ".join(f"{k} {s*1e3:6.2f}ms" for k, s in meds.items()))
+print(f"onepass/32bit: {meds['onepass']/meds['32bit']:.3f}")
+print(f"twopass/32bit: {meds['twopass']/meds['32bit']:.3f}", flush=True)
+
+# bit-identity on-device
+os.environ["BNB_OPT8_TWOPASS"] = "0"
+o1 = jax.jit(step8)(g, p, s1, s2, am1, am2)
+os.environ["BNB_OPT8_TWOPASS"] = "1"
+o2 = jax.jit(step8)(g, p, s1, s2, am1, am2)
+for a_, b_, nm in zip(o1, o2, ("p", "s1", "s2", "am1", "am2")):
+    if a_ is None:
+        continue
+    neq = int(jnp.sum(a_ != b_))
+    print(f"  {nm}: mismatches {neq}/{a_.size}", flush=True)

@@ -184,6 +184,14 @@ def _to_bf16_rows(w32):
 # [28672,4096] (experiments/ab_decode16.py; isolation probe
 # experiments/probe_decode16.py agrees: 20.4 vs 15.8 ps/byte — Mosaic does
 # not pack int16 selects).  BNB_DECODE16=1 opts in for future re-probing.
+#
+# Round 4 closed the rest of the candidate family on-chip
+# (experiments/probe_mxu_decode.py): the one-hot MXU rider (stacked bf16
+# 0/1 masks, one dot per quant block, code applied post-dot — exact) ran
+# 5.79x slower at [4096,4096] M=16, the int8-domain variant 3.63x, and
+# Mosaic REJECTS int8 vector ALU outright ("Only vector<i16> and
+# vector<i32> are supported").  The pair-word select tree below is the
+# measured lane-op floor for NF4 decode on this Mosaic generation.
 # ---------------------------------------------------------------------------
 
 

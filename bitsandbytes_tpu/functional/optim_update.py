@@ -396,9 +396,17 @@ def optimizer_update_8bit_blockwise(
                 absmax1, absmax2, apply_sign_fixup=apply_sign_fixup, **kwargs,
             )
     if concrete:
+        # Read the env var HERE (un-jitted caller) and thread it through as
+        # a static argument: reading it at trace time inside the jitted fn
+        # makes flag flips after the first trace silent no-ops (the pjit
+        # cache is keyed only on avals/statics).  Default OFF pending a
+        # valid on-chip A/B (the round-4 one was invalidated by exactly
+        # this cache collapse — both arms timed the one-pass graph).
+        twopass = os.environ.get("BNB_OPT8_TWOPASS", "0") == "1"
         return _optimizer_update_8bit_seg(
             optimizer_name, g, p, state1, state2, absmax1, absmax2,
-            code1_t=code1_t, code2_t=code2_t, fixup=apply_sign_fixup, **kwargs,
+            code1_t=code1_t, code2_t=code2_t, fixup=apply_sign_fixup,
+            twopass=twopass, **kwargs,
         )
     global _warned_traced_qmap
     if not _warned_traced_qmap:
@@ -419,7 +427,7 @@ def optimizer_update_8bit_blockwise(
 @partial(
     jax.jit,
     static_argnums=(0,),
-    static_argnames=("weight_decay", "code1_t", "code2_t", "fixup"),
+    static_argnames=("weight_decay", "code1_t", "code2_t", "fixup", "twopass"),
 )
 def _optimizer_update_8bit_seg(
     optimizer_name: str,
@@ -433,6 +441,7 @@ def _optimizer_update_8bit_seg(
     code1_t,
     code2_t,
     fixup: bool,
+    twopass: bool = False,
     beta1: float,
     beta2: float,
     beta3: float = 0.0,
@@ -513,20 +522,16 @@ def _optimizer_update_8bit_seg(
 
     new_p, new_s1, new_s2 = chain(g2, p2, c1, a1, c2, a2)
 
-    # Two-pass requant (default ON): XLA cannot fuse the block-absmax
-    # reduce with its requant consumer into one loop nest, so the requant
-    # pass re-reads the new f32 state values from HBM (16 bytes/param for
-    # Adam — more than the whole useful traffic of the op).  Instead:
-    # pass A emits new_p + the block absmaxes only; pass B RECOMPUTES the
-    # update chain from the raw 8-bit inputs (cheap ALU, ~10 bytes/param
-    # re-read) behind an optimization_barrier (which blocks CSE with pass
-    # A without blocking fusion inside each pass) and requantizes against
-    # pass-A's absmaxes.  Bit-identical by construction: both passes
-    # evaluate the same pure function of the same inputs.
-    # (reference one-pass analog: csrc/kernels.cu:914-1147 reduces absmax
-    # in-block in shared memory.)  BNB_OPT8_TWOPASS=0 restores the single
-    # materializing pass.
-    twopass = os.environ.get("BNB_OPT8_TWOPASS", "1") == "1"
+    # Two-pass requant (OPT-IN via BNB_OPT8_TWOPASS=1, threaded in as a
+    # static arg by the public caller): pass A emits new_p + the block
+    # absmaxes only; pass B RECOMPUTES the update chain from the raw 8-bit
+    # inputs behind an optimization_barrier and requantizes against pass-A's
+    # absmaxes, trading ~16 bytes/param of f32 state re-reads for a repeat
+    # of the decode+update ALU.  Bit-identical by construction (both passes
+    # evaluate the same pure function of the same inputs).  The op is
+    # ALU-bound on v5e (see PARITY.md), so the trade loses and the default
+    # is the single materializing pass.  (Reference one-pass analog:
+    # csrc/kernels.cu:914-1147 reduces absmax in-block in shared memory.)
     if twopass:
         bam = lambda x: jnp.max(jnp.abs(x), axis=-1, keepdims=True)  # noqa: E731
         am1 = bam(new_s1)

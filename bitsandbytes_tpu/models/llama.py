@@ -898,8 +898,19 @@ def add_lora(
     return {"layers": [layer(keys[i]) for i in range(cfg.num_layers)]}
 
 
-def lm_loss(params, lora, ids, cfg, token_chunk: Optional[int] = None):
+def lm_loss(
+    params,
+    lora,
+    ids,
+    cfg,
+    token_chunk: Optional[int] = None,
+    int8_threshold: float = 0.0,
+):
     """Next-token cross-entropy over ids [B, T+1].
+
+    ``int8_threshold``: forwarded to :func:`forward` — enables LLM.int8()
+    outlier decomposition on int8-quantized linears (reference
+    autograd/_functions.py MatMul8bitLt threshold semantics).
 
     ``token_chunk``: compute the lm_head + softmax in chunks of that many
     tokens instead of materializing the full ``[B, T, V]`` logits (at
@@ -910,13 +921,22 @@ def lm_loss(params, lora, ids, cfg, token_chunk: Optional[int] = None):
     training.  Loss is identical to the dense path up to f32 summation
     order."""
     if token_chunk is None:
-        logits, _ = forward(params, ids[:, :-1], cfg, lora=lora)
+        logits, _ = forward(
+            params, ids[:, :-1], cfg, lora=lora, int8_threshold=int8_threshold
+        )
         targets = ids[:, 1:]
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         return nll.mean()
 
-    h, _ = forward(params, ids[:, :-1], cfg, lora=lora, return_hidden=True)
+    h, _ = forward(
+        params,
+        ids[:, :-1],
+        cfg,
+        lora=lora,
+        return_hidden=True,
+        int8_threshold=int8_threshold,
+    )
     D = h.shape[-1]
     h = h.reshape(-1, D)
     targets = ids[:, 1:].reshape(-1)

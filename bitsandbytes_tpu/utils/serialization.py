@@ -66,6 +66,19 @@ def _np_safe(a) -> np.ndarray:
     return a
 
 
+def _np_keep_ml_dtypes(a) -> np.ndarray:
+    """numpy array preserving bf16/fp8 storage dtypes, but still widening
+    true void dtypes (structured / opaque), which no tensor container can
+    serialize.  Used by ``widen_ml_dtypes=False`` — the narrow path must
+    keep the void guard or saves crash on exotic leaves."""
+    a = np.asarray(a)
+    if a.dtype.kind == "V" and a.dtype.name not in (
+        "bfloat16", "float8_e4m3fn", "float8_e5m2"
+    ):
+        return a.astype(np.float32)
+    return a
+
+
 def state_dict_from_params(params: Any, widen_ml_dtypes: bool = True) -> dict:
     """Flatten a (possibly quantized) param tree to ``{name: np.ndarray}``.
 
@@ -74,7 +87,7 @@ def state_dict_from_params(params: Any, widen_ml_dtypes: bool = True) -> dict:
     bf16 tensors; the npz container needs the float32 widening).
     """
     out = {}
-    safe = _np_safe if widen_ml_dtypes else np.asarray
+    safe = _np_safe if widen_ml_dtypes else _np_keep_ml_dtypes
 
     def visit(path, leaf):
         key = _path_str(path)

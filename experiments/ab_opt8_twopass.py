@@ -11,10 +11,13 @@ chain from the raw ~10 bytes/param of inputs behind an
 optimization_barrier in pass B.  Bit-identical by construction (verified
 in-process below and cross-process in the commit).
 
-BNB_OPT8_TWOPASS is read at trace time inside _optimizer_update_8bit_seg,
-so each variant gets a fresh jit (device_loop_time re-traces per call).
+Round-5 fix (ADVICE r4): the variant is now passed as an EXPLICIT STATIC
+argument to _optimizer_update_8bit_seg, so each arm gets its own pjit
+cache entry.  The round-4 version of this harness set an env var that the
+jitted fn read at trace time — the second arm silently reused the first
+arm's compiled graph, so both "variants" (and the bit-identity check)
+measured the same one-pass code.
 """
-import os
 import sys
 
 import jax
@@ -43,17 +46,19 @@ sec = device_loop_time(lambda a: jnp.tanh(a @ a), (a,), iters=10)
 print(f"canary: {sec*1e6:.0f} us ({2*4096**3/sec/1e12:.0f} TFLOPs)", flush=True)
 
 
-def step8(g, p, s1, s2, am1, am2):
+def step8(twopass, g, p, s1, s2, am1, am2):
     return OU._optimizer_update_8bit_seg(
         "adam", g, p, s1, s2, am1, am2,
-        code1_t=code1, code2_t=code2, fixup=True,
+        code1_t=code1, code2_t=code2, fixup=True, twopass=twopass,
         beta1=0.9, beta2=0.999, eps=1e-8, step=10, lr=1e-3,
     )
 
 
 def timed8(twopass: bool):
-    os.environ["BNB_OPT8_TWOPASS"] = "1" if twopass else "0"
-    return device_loop_time(step8, (g, p, s1, s2, am1, am2), iters=10)
+    import functools
+    return device_loop_time(
+        functools.partial(step8, twopass), (g, p, s1, s2, am1, am2), iters=10
+    )
 
 
 m = jnp.zeros((N,), jnp.float32)
@@ -82,11 +87,9 @@ print("medians: " + "  ".join(f"{k} {s*1e3:6.2f}ms" for k, s in meds.items()))
 print(f"onepass/32bit: {meds['onepass']/meds['32bit']:.3f}")
 print(f"twopass/32bit: {meds['twopass']/meds['32bit']:.3f}", flush=True)
 
-# bit-identity on-device
-os.environ["BNB_OPT8_TWOPASS"] = "0"
-o1 = jax.jit(step8)(g, p, s1, s2, am1, am2)
-os.environ["BNB_OPT8_TWOPASS"] = "1"
-o2 = jax.jit(step8)(g, p, s1, s2, am1, am2)
+# bit-identity on-device (distinct compiled variants by construction now)
+o1 = step8(False, g, p, s1, s2, am1, am2)
+o2 = step8(True, g, p, s1, s2, am1, am2)
 for a_, b_, nm in zip(o1, o2, ("p", "s1", "s2", "am1", "am2")):
     if a_ is None:
         continue

@@ -348,6 +348,56 @@ def test_stochastic_rounding_unbiased():
     assert err_sto < err_det, (err_sto, err_det)
 
 
+def test_stochastic_rounding_converges_where_rtn_stalls():
+    """The classic use-case for the reference's STOCHASTIC kernel template
+    (kernels.cu:269-375, per the 8-bit optimizers paper arXiv:2110.02861):
+    when a parameter lives in a low-bit quantized store and every update is
+    smaller than half the quantization gap, round-to-nearest requantization
+    discards ALL progress (the trajectory stalls at its start), while
+    stochastic rounding moves with the right probability and the trajectory
+    converges in expectation.
+
+    End-to-end form: gradient descent on f(w) = 0.5*||w - t||^2 with w kept
+    in 8-bit blockwise codes (dequant -> step -> requant each iteration).
+    lr is chosen so |lr * grad| is always below half the local code gap.
+    The absmax element of every block is PINNED at its target (zero
+    gradient) so the blockwise scale — and with it the quantization grid —
+    stays frozen; otherwise the drifting absmax rescales the grid every
+    step and acts as unintended dither that lets RTN creep forward.
+    """
+    from bitsandbytes_tpu.functional.blockwise import (
+        dequantize_blockwise,
+        quantize_blockwise,
+    )
+
+    rng = np.random.default_rng(7)
+    n, bs, lr, steps = 1024, 256, 0.01, 400
+    target = rng.uniform(0.2, 0.6, size=(n,)).astype(np.float32)
+    w0 = target + 0.3  # top-decade gap at absmax 1.0 is ~0.014 >> 2*lr*|w-t|
+    target[::bs] = 1.0  # pinned block absmax: w0 == target -> grad 0
+    w0[::bs] = 1.0
+    target = jnp.asarray(target)
+    w0 = jnp.asarray(w0)
+
+    def run(stochastic: bool):
+        w = w0
+        for i in range(steps):
+            g = w - target
+            key = jax.random.PRNGKey(i) if stochastic else None
+            q, st = quantize_blockwise(w - lr * g, blocksize=bs, stochastic_key=key)
+            w = dequantize_blockwise(q, quant_state=st)
+        return float(jnp.mean(jnp.abs(w - target)))
+
+    err_rtn = run(False)
+    err_sto = run(True)
+    # RTN: every step's update rounds back to the same code — full stall
+    assert err_rtn > 0.25, err_rtn
+    # SR: converges toward the target (contraction + unbiased requant);
+    # residual is requant noise, far below the stall plateau
+    assert err_sto < 0.08, err_sto
+    assert err_sto < err_rtn / 3.0, (err_sto, err_rtn)
+
+
 @pytest.mark.parametrize("storage", ["uint8", "uint16", "uint32", "bfloat16", "float32"])
 def test_quant_storage_dtypes(storage):
     """quant_storage lets packed payloads masquerade as wider dtypes

@@ -185,15 +185,20 @@ def real_ckpt():
 
 @pytest.mark.slow
 def test_real_checkpoint_ppl_deltas(real_ckpt):
-    """fp (bf16) vs NF4 vs NF4+DQ vs int8 perplexity on the trained
-    fixture: deltas must stay within paper-class bounds (LLM.int8()
-    arXiv:2208.07339 Tab.1: int8 delta ~0; QLoRA arXiv:2305.14314: NF4
-    within ~2-4% at 4-bit on small models — small models degrade the most,
-    so the NF4 bound here is deliberately looser than the 8B-scale claim)."""
+    """Six-format perplexity gate on the trained fixture (the offline
+    analog of the reference's e2e generation gate,
+    tests/test_generation.py:78-122): bf16 vs NF4 / NF4+DQ / FP4 / int8 /
+    int8+threshold (LLM.int8() outlier decomposition active).
+
+    Bounds are set from MEASURED round-5 values plus a regression margin
+    sized to catch a 1-2% quality slip, not from the loose paper-class
+    ceilings (measured on the 16-seq subset, CPU f32-highest matmuls:
+    nf4 1.0198, nf4+dq 1.0199, fp4 1.0272, int8 1.00043, int8+thr
+    1.00070, |dq-nf4|/nf4 9.4e-5)."""
     cfg, params, ids, meta = real_ckpt
 
-    def ppl(p):
-        return float(jnp.exp(L.lm_loss(p, None, ids, cfg)))
+    def ppl(p, thr=0.0):
+        return float(jnp.exp(L.lm_loss(p, None, ids, cfg, int8_threshold=thr)))
 
     p_fp = ppl(params)
     # the reloaded bf16 checkpoint must reproduce the training-side eval
@@ -206,11 +211,20 @@ def test_real_checkpoint_ppl_deltas(real_ckpt):
     p_dq = ppl(
         L.quantize_params_4bit(params, quant_type="nf4", compress_statistics=True)
     )
-    p_int8 = ppl(L.quantize_params_int8(params))
+    p_fp4 = ppl(L.quantize_params_4bit(params, quant_type="fp4"))
+    params_int8 = L.quantize_params_int8(params)
+    p_int8 = ppl(params_int8)
+    p_int8_thr = ppl(params_int8, thr=6.0)  # reference default threshold
 
-    # LLM.int8(): no measurable degradation
-    assert p_int8 / p_fp < 1.02, (p_int8, p_fp)
-    # NF4 blockwise-64 on a 13.6M model: paper-class small-model bound
-    assert p_nf4 / p_fp < 1.10, (p_nf4, p_fp)
-    # DQ must track plain NF4 almost exactly (absmax 8-bit requant only)
-    assert abs(p_dq - p_nf4) / p_nf4 < 0.01, (p_dq, p_nf4)
+    # LLM.int8(): no measurable degradation (measured 1.0004 / 1.0007)
+    assert p_int8 / p_fp < 1.005, (p_int8, p_fp)
+    assert p_int8_thr / p_fp < 1.005, (p_int8_thr, p_fp)
+    # outlier decomposition must not change quality materially vs plain int8
+    assert abs(p_int8_thr - p_int8) / p_int8 < 0.003, (p_int8_thr, p_int8)
+    # NF4 blockwise-64 on a 13.6M model (measured 1.0198)
+    assert p_nf4 / p_fp < 1.04, (p_nf4, p_fp)
+    # FP4 is the weaker 4-bit code (measured 1.0272) — catch regressions
+    # without conflating it with NF4's bound
+    assert p_fp4 / p_fp < 1.05, (p_fp4, p_fp)
+    # DQ must track plain NF4 almost exactly (measured 9.4e-5)
+    assert abs(p_dq - p_nf4) / p_nf4 < 0.003, (p_dq, p_nf4)

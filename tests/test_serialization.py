@@ -169,3 +169,77 @@ def test_safetensors_roundtrip(tmp_path, setup):
     # flat-dict load (no template) folds components into QuantizedTensors
     flat = load_checkpoint_safetensors(path)
     assert any(isinstance(v, QuantizedTensor) for v in flat.values())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_orbax_sharded_roundtrip_resharded(tmp_path):
+    """Orbax round-trip of a pjit-sharded quantized train state (SURVEY
+    §5.4; the reference's FSDP state-dict scars, optim/optimizer.py:161-271,
+    are the failure mode this guards against): a 4-bit QuantizedTensor param
+    tree + LoRA adapters + 8-bit optimizer state (uint8 codes + blockwise
+    absmax) saved from a 2x4 mesh, restored under a DIFFERENT 4x2 mesh, must
+    be bit-exact on every leaf and continue training bit-identically to a
+    plain device_put reshard of the in-memory state."""
+    import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bitsandbytes_tpu import optim, parallel as par
+
+    mesh_a = par.make_mesh({"data": 2, "model": 4})
+    mesh_b = par.make_mesh({"data": 4, "model": 2})
+    cfg = L.LlamaConfig.tiny()
+    params = par.llama_param_specs(
+        mesh_a, L.quantize_params_4bit(L.init_params(jax.random.PRNGKey(0), cfg))
+    )
+    lora = par.shard_quantized_tree(
+        L.add_lora(jax.random.PRNGKey(1), cfg, rank=4), mesh_a, lambda p, l: P()
+    )
+    optimizer = optim.adamw8bit(1e-3, min_8bit_size=16)
+    opt_state = optimizer.init(lora)
+    assert any(
+        l.dtype == jnp.uint8 for l in jax.tree_util.tree_leaves(opt_state)
+    ), "fixture must exercise 8-bit (uint8-coded) optimizer state"
+    ids = jax.device_put(
+        np.random.default_rng(2).integers(0, cfg.vocab_size, (4, 16)),
+        NamedSharding(mesh_a, P("data", None)),
+    )
+    step = jax.jit(
+        lambda p, lo, st, i: L.lora_train_step(p, lo, st, i, cfg, optimizer)
+    )
+    _, lora, opt_state = step(params, lora, opt_state, ids)
+    state = {"params": params, "lora": lora, "opt": opt_state}
+
+    ck = ocp.StandardCheckpointer()
+    ck.save(str(tmp_path / "ck"), state)
+    ck.wait_until_finished()
+
+    # oracle: the same post-step state moved to the new mesh in-memory
+    def reshard(x):
+        # some leaves come back from jit with GSPMDSharding (no .spec);
+        # those are replicated scalars/small arrays in this fixture
+        spec = getattr(x.sharding, "spec", P())
+        return jax.device_put(x, NamedSharding(mesh_b, spec))
+
+    oracle = jax.tree_util.tree_map(reshard, state)
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        oracle,
+    )
+    restored = ck.restore(str(tmp_path / "ck"), abstract)
+
+    la = jax.tree_util.tree_leaves(restored)
+    lb = jax.tree_util.tree_leaves(oracle)
+    assert len(la) == len(lb) and len(la) > 100
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume: one more step from both copies must agree bit-exactly
+    ids_b = jax.device_put(ids, NamedSharding(mesh_b, P("data", None)))
+    l_r, lo_r, st_r = step(restored["params"], restored["lora"], restored["opt"], ids_b)
+    l_o, lo_o, st_o = step(oracle["params"], oracle["lora"], oracle["opt"], ids_b)
+    assert float(l_r) == float(l_o)
+    for a, b in zip(
+        jax.tree_util.tree_leaves((lo_r, st_r)),
+        jax.tree_util.tree_leaves((lo_o, st_o)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

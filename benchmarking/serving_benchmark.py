@@ -1,23 +1,32 @@
-"""Continuous-batching engine throughput, pool-normalized.
+"""Continuous-batching engine throughput: device-phase primary metric.
 
-The shared v5e pool swings ~2x across processes/minutes, so a raw tok/s
-number is not comparable round-over-round (VERDICT r2 weak #7).  This
-bench brackets the engine run with a bf16-matmul canary and reports:
+The end-to-end wall clock of the engine loop on this environment is
+dominated by the axon tunnel RTT (host<->chip round trips per sync), which
+says nothing about the framework — so the PRIMARY metric here is the
+steady-state device decode-chunk time (hoist-proof on-device loop,
+medians of 3 interleaved passes with spread), and the RTT-bound
+end-to-end tok/s is SECONDARY (also median-of-3 windows).  The shared
+v5e pool swings ~2x across processes/minutes, so every window is
+bracketed by a bf16-matmul canary and the normalized number divides by
+pool_factor = canary TFLOPs / CANARY_REF_TFLOPS (captured once on an
+idle chip).
 
-  * raw tok/s (wall clock, includes the host loop),
-  * normalized tok/s = raw / pool_factor, where pool_factor is the
-    canary's delivered TFLOPs over its typical light-load delivery
-    (CANARY_REF_TFLOPS, captured once on an idle chip),
-  * device-only decode-chunk time (via the hoist-proof on-device loop) and
-    the host-side overhead = wall - device, per step.
+Prints one JSON line (SERVING_JSON: {...}) and writes/merges
+benchmarking/SERVING.json keyed by engine mode.
 
 Usage: python benchmarking/serving_benchmark.py [--kv int8] [--paged]
+                                                [--no-device-phase]
 """
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if "--cpu" in sys.argv:  # smoke mode: force the host backend before jax init
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp
@@ -90,61 +99,104 @@ def main():
     while eng.has_work():
         eng.step()
 
-    t0 = time.time()
-    for p in prompts:
-        eng.add_request(p, max_new_tokens=new_tok)
-    done = 0
-    steps = 0
-    while done < n_req:
-        done += len(eng.step())
-        steps += 1
-    wall = time.time() - t0
+    # end-to-end windows (RTT-bound secondary metric): median of 3, each
+    # bracketed by a canary
     total_tokens = n_req * new_tok
-    raw = total_tokens / wall
+    raws, steps_per_window = [], None
+    cans = [c0]
+    for w in range(3):
+        t0 = time.time()
+        for p in prompts:
+            eng.add_request(p, max_new_tokens=new_tok)
+        done = 0
+        steps = 0
+        while done < n_req:
+            done += len(eng.step())
+            steps += 1
+        wall = time.time() - t0
+        raws.append(total_tokens / wall)
+        steps_per_window = steps
+        cans.append(canary_tflops())
+        print(f"window {w}: raw {raws[-1]:.1f} tok/s ({steps} steps); "
+              f"canary {cans[-1]:.0f} TFLOPs", flush=True)
 
-    c1 = canary_tflops()
-    pool = ((c0 + c1) / 2) / CANARY_REF_TFLOPS
-    print(f"canary after:  {c1:.0f} TFLOPs", flush=True)
-    # print the headline BEFORE the device-chunk timing below: its compile
-    # can hang on the flaky remote-compile service, losing the whole run
-    print(f"engine[{'paged' if paged else 'dense'},{kv}] bs={bs}: "
-          f"raw {raw:.1f} tok/s, normalized {raw/pool:.1f} tok/s "
-          f"(pool factor {pool:.2f}, n={total_tokens} tok, {steps} steps)",
-          flush=True)
+    pool = float(np.median(cans)) / CANARY_REF_TFLOPS
+    raw_med = float(np.median(raws))
+    mode = f"{'paged' if paged else 'dense'},{kv}"
+    # print the e2e summary BEFORE the device-chunk timing below: its
+    # compile can hang on the flaky remote-compile service
+    print(f"engine[{mode}] bs={bs}: raw median {raw_med:.1f} "
+          f"(min {min(raws):.1f}, max {max(raws):.1f}) tok/s, "
+          f"normalized {raw_med/pool:.1f} tok/s (pool {pool:.2f})", flush=True)
 
-    # device-only decode chunk time at full batch (host overhead excluded).
-    # Opt-in: the wrapping compile intermittently hangs the remote compile
-    # helper, blocking the chip long past this process's timeout.
-    dev_chunk = None
-    if "--device-only" not in sys.argv:
-        return
+    # PRIMARY: device-only decode chunk time at full batch (host/RTT
+    # overhead excluded) — median of 3 repeats of the hoist-proof loop.
+    dev_chunks = []
+    if "--no-device-phase" not in sys.argv:
+        try:
+            cache = eng.cache
+            toks = jnp.zeros((bs,), jnp.int32)
+            pos = jnp.full((bs,), max_len // 2, jnp.int32)
+            from bitsandbytes_tpu.serving.engine import _decode_chunk
+            leaves, treedef = jax.tree_util.tree_flatten(cache)
+
+            def step(toks, *leaves):
+                c = jax.tree_util.tree_unflatten(treedef, leaves)
+                out, c2 = _decode_chunk(
+                    eng.params, c, toks, pos,
+                    jnp.zeros((bs,), jnp.float32), jnp.ones((bs,), jnp.float32),
+                    jax.random.PRNGKey(0),
+                    cfg=cfg, S=eng.steps_per_sync, sampling=False,
+                    pool=eng.sampling_pool,
+                )
+                return (out[-1],) + tuple(jax.tree_util.tree_leaves(c2))
+
+            for _ in range(3):
+                dev_chunks.append(device_loop_time(step, (toks, *leaves), iters=5))
+        except Exception as e:
+            print("device-chunk timing failed:", str(e)[:160])
+
+    result = {
+        "mode": mode,
+        "bs": bs,
+        "steps_per_sync": eng.steps_per_sync,
+        "e2e_tok_s": {"median": round(raw_med, 1), "min": round(min(raws), 1),
+                      "max": round(max(raws), 1), "n": len(raws)},
+        "e2e_tok_s_normalized": round(raw_med / pool, 1),
+        "pool_factor": round(pool, 3),
+        "canary_tflops": [round(c, 1) for c in cans],
+        "note": "device_chunk_ms is the primary metric; e2e is tunnel-RTT-bound",
+    }
+    if dev_chunks:
+        dmed = float(np.median(dev_chunks))
+        result["device_chunk_ms"] = {
+            "median": round(dmed * 1e3, 2),
+            "min": round(min(dev_chunks) * 1e3, 2),
+            "max": round(max(dev_chunks) * 1e3, 2),
+            "n": len(dev_chunks),
+        }
+        result["device_tok_s"] = round(bs * eng.steps_per_sync / dmed, 1)
+        per_step_wall = (total_tokens / raw_med) / steps_per_window
+        result["host_rtt_overhead_ms_per_step"] = round(
+            per_step_wall * 1e3 - dmed * 1e3, 1
+        )
+        print(f"  device decode chunk: {dmed*1e3:.1f} ms/chunk median "
+              f"(min {min(dev_chunks)*1e3:.1f}, max {max(dev_chunks)*1e3:.1f}; "
+              f"{result['device_tok_s']:.1f} tok/s device-only); "
+              f"host+RTT overhead {result['host_rtt_overhead_ms_per_step']} ms/step",
+              flush=True)
+
+    import json
+    print("SERVING_JSON: " + json.dumps(result), flush=True)
+    out_path = os.path.join(os.path.dirname(__file__), "SERVING.json")
     try:
-        cache = eng.cache
-        toks = jnp.zeros((bs,), jnp.int32)
-        pos = jnp.full((bs,), max_len // 2, jnp.int32)
-        from bitsandbytes_tpu.serving.engine import _decode_chunk
-        leaves, treedef = jax.tree_util.tree_flatten(cache)
-
-        def step(toks, *leaves):
-            c = jax.tree_util.tree_unflatten(treedef, leaves)
-            out, c2 = _decode_chunk(
-                eng.params, c, toks, pos,
-                jnp.zeros((bs,), jnp.float32), jnp.ones((bs,), jnp.float32),
-                jax.random.PRNGKey(0),
-                cfg=cfg, S=eng.steps_per_sync, sampling=False,
-                pool=eng.sampling_pool,
-            )
-            return (out[-1],) + tuple(jax.tree_util.tree_leaves(c2))
-
-        dev_chunk = device_loop_time(step, (toks, *leaves), iters=5)
-    except Exception as e:
-        print("device-chunk timing failed:", str(e)[:160])
-
-    if dev_chunk is not None:
-        per_step_wall = wall / steps
-        print(f"  device decode chunk: {dev_chunk*1e3:.1f} ms/chunk "
-              f"({bs*eng.steps_per_sync/dev_chunk:.1f} tok/s device-only); "
-              f"host+sync overhead {per_step_wall*1e3 - dev_chunk*1e3:.1f} ms/step")
+        with open(out_path) as f:
+            all_results = json.load(f)
+    except Exception:
+        all_results = {}
+    all_results[mode + f",bs{bs}"] = result
+    with open(out_path, "w") as f:
+        json.dump(all_results, f, indent=1)
 
 
 if __name__ == "__main__":

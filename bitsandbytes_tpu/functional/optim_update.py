@@ -64,10 +64,12 @@ BLOCKSIZE_8BIT_STATE = 256  # reference ops.cu:154-157
 
 
 def state_dequant_blocks(codes2d, absmax_col, table, code_np):
-    """Dequantize uint8 state codes laid out ``[NB, 256]`` with per-block
-    absmax ``[NB, 1]``.  ``table`` is a SymSegmentTable (half-depth trees),
-    SegmentTable, or None; ``code_np`` is the concrete codebook (used only
-    on the fallback path)."""
+    """Dequantize uint8 state codes laid out ``[NB, 256]`` (or any
+    ``[NB, ...]`` whose trailing axes hold one 256-element block, e.g. the
+    ``[NB, 2, 128]`` lane-tile form) with per-block absmax ``[NB, 1...]``.
+    ``table`` is a SymSegmentTable (half-depth trees), SegmentTable, or
+    None; ``code_np`` is the concrete codebook (used only on the fallback
+    path)."""
     if isinstance(table, SymSegmentTable):
         vals = segment_decode_sym(codes2d.astype(jnp.int32), table)
     elif table is not None:
@@ -78,20 +80,25 @@ def state_dequant_blocks(codes2d, absmax_col, table, code_np):
 
 
 def state_requant_blocks(x2d, table, code_np, fixup: bool, am=None):
-    """Requantize fp32 state values ``[NB, 256]``.  Returns (uint8 codes,
-    raw absmax ``[NB, 1]``).
+    """Requantize fp32 state values ``[NB, 256]`` (or ``[NB, ...block]``,
+    see :func:`state_dequant_blocks`).  Returns (uint8 codes, raw absmax
+    ``[NB, 1...]``).
 
     Sign-preservation fixup (reference kernels.cu:1118-1133): bump the code
     +/-1 when the quantized slot's sign differs from the value's — applied
     only for signed codebooks, matching the CUDA kernel (state2's unsigned
     map never needs it).
 
-    ``am``: precomputed block absmax ``[NB, 1]`` (the two-pass route
-    computes it in a separate fusion so this pass can rematerialize its
-    input from the raw optimizer inputs instead of re-reading f32 states).
+    ``am``: precomputed block absmax (the two-pass route computes it in a
+    separate fusion so this pass can rematerialize its input from the raw
+    optimizer inputs instead of re-reading f32 states).
     """
     if am is None:
-        am = jnp.max(jnp.abs(x2d), axis=-1, keepdims=True)
+        # reduce every trailing axis: one block per leading index,
+        # shape-agnostic so both the [NB, 256] and [NB, 2, 128] forms work
+        am = jnp.max(
+            jnp.abs(x2d), axis=tuple(range(1, x2d.ndim)), keepdims=True
+        )
     scale = 1.0 / jnp.clip(am, _ABSMAX_EPS, None)
     scaled = jnp.clip(x2d * scale, -1.0, 1.0)
     if isinstance(table, SymSegmentTable):
@@ -356,9 +363,11 @@ def optimizer_update_8bit_blockwise(
     Returns ``(new_p, new_state1, new_state2, new_absmax1, new_absmax2)``.
 
     Default route (all backends): the fused-XLA segment tier
-    (:func:`_optimizer_update_8bit_seg`) — on TPU it beats the Pallas
-    kernel because the op is DMA-bound and XLA streams ~2x the bandwidth
-    of pallas_call on this stack (see the dispatch comment below).
+    (:func:`_optimizer_update_8bit_seg`) in its tile4k layout — on TPU it
+    beats both the Pallas kernel (whose pallas_call DMA tops out ~220 GB/s
+    vs XLA's streaming) and, since round 5, the 32-bit path itself
+    (tile4k avoids the physical relayout the historical (NB, 256) view
+    forced on every operand; see the dispatch comment below).
     ``BNB_TPU_BACKEND=pallas`` selects the fused Pallas kernel
     (ops/pallas/optim8bit.py) explicitly.  Both tiers share the
     segment-arithmetic (de)quantization in functional/dynamic_segments.py,
@@ -379,11 +388,12 @@ def optimizer_update_8bit_blockwise(
 
     # The fused Pallas kernel is EXPLICIT-ONLY (BNB_TPU_BACKEND=pallas):
     # on this stack pallas_call streaming tops out at ~220 GB/s while XLA
-    # streams the same IO at ~480 GB/s, so the DMA-bound update is faster
-    # as fused XLA elementwise code — measured interleaved on v5e (64M
-    # Adam): jnp-seg 6.86 ms vs Pallas kernel 8.88 ms vs 32-bit 6.11 ms
-    # (experiments/ab_opt8_tier.py, probe_stream_bw.py).  Both tiers share
-    # the segment arithmetic and agree bit-exactly under jit.
+    # streams the same IO faster as fused elementwise code — measured
+    # interleaved on v5e (64M Adam): seg-tile4k 5.4 ms vs the historical
+    # seg-2d 6.9 ms vs Pallas kernel 8.88 ms vs 32-bit 6.13 ms
+    # (experiments/ab_opt8_twopass.py, ab_opt8_tier.py,
+    # probe_opt8_layout.py).  Both tiers share the segment arithmetic and
+    # agree bit-exactly under jit.
     if dispatch.backend() == "pallas" and concrete:
         from ..ops.pallas.optim8bit import (
             optimizer_update_8bit_pallas,
@@ -403,10 +413,21 @@ def optimizer_update_8bit_blockwise(
         # valid on-chip A/B (the round-4 one was invalidated by exactly
         # this cache collapse — both arms timed the one-pass graph).
         twopass = os.environ.get("BNB_OPT8_TWOPASS", "0") == "1"
+        # Internal block layout: "tile4k" processes flat arrays through the
+        # BITCAST-TRUE blocked view (n/4096, 32, 128) — flat f32 carries
+        # XLA layout {0:T(1024)} (linear 8x128 tiles) and flat uint8
+        # {0:T(4096)}, so this 3D shape is physically identical to flat
+        # for both dtypes and a 256-element block is 2 adjacent sublanes
+        # (absmax = lane reduce + tiny sublane-pair fold).  The historical
+        # "2d" (NB, 256) view splits blocks across lane-tiles of different
+        # sublanes, which makes XLA physically relayout every big operand
+        # at the jit boundary (+2.6 ms on 64M Adam — profile_opt8_xla.py /
+        # probe_opt8_layout.py; PARITY.md Round-5 closures).
+        layout = os.environ.get("BNB_OPT8_LAYOUT", "tile4k")
         return _optimizer_update_8bit_seg(
             optimizer_name, g, p, state1, state2, absmax1, absmax2,
             code1_t=code1_t, code2_t=code2_t, fixup=apply_sign_fixup,
-            twopass=twopass, **kwargs,
+            twopass=twopass, layout=layout, **kwargs,
         )
     global _warned_traced_qmap
     if not _warned_traced_qmap:
@@ -427,7 +448,9 @@ def optimizer_update_8bit_blockwise(
 @partial(
     jax.jit,
     static_argnums=(0,),
-    static_argnames=("weight_decay", "code1_t", "code2_t", "fixup", "twopass"),
+    static_argnames=(
+        "weight_decay", "code1_t", "code2_t", "fixup", "twopass", "layout",
+    ),
 )
 def _optimizer_update_8bit_seg(
     optimizer_name: str,
@@ -442,6 +465,7 @@ def _optimizer_update_8bit_seg(
     code2_t,
     fixup: bool,
     twopass: bool = False,
+    layout: str = "tile4k",
     beta1: float,
     beta2: float,
     beta3: float = 0.0,
@@ -453,13 +477,31 @@ def _optimizer_update_8bit_seg(
     gnorm_scale: float = 1.0,
 ):
     """jnp oracle, blocks layout, static codebooks: shares
-    state_dequant_blocks/state_requant_blocks with the Pallas kernel."""
+    state_dequant_blocks/state_requant_blocks with the Pallas kernel.
+
+    ``layout="tile4k"`` processes blocks through the bitcast-true
+    ``[n/4096, 32, 128]`` view of flat arrays (see the caller's dispatch
+    comment): no big operand is physically relayouted, and the per-block
+    absmax is a lane reduce plus a tiny sublane-pair fold.  ``"2d"`` is
+    the historical ``[NB, 256]`` form (kept for A/B and as the shape the
+    Pallas kernel uses).  Both are bit-identical — the elementwise values
+    are unchanged and the per-block max reduce is order-independent."""
     bs = BLOCKSIZE_8BIT_STATE
     p_dtype = p.dtype
     shape = p.shape
     n = p.size
-    pad = (-n) % bs
-    NB = (n + pad) // bs
+    NB = -(-n // bs)  # true block count (public absmax size)
+    tile4k = layout == "tile4k"
+    if tile4k:
+        TILE = 4096  # flat uint8 tile; 16 blocks x (2 sublanes, 128 lanes)
+        pad = (-n) % TILE
+        ntiles = (n + pad) // TILE
+        blkshape = (ntiles, 32, 128)
+        nb_pad = ntiles * 16
+    else:
+        pad = (-n) % bs
+        blkshape = ((n + pad) // bs, bs)
+        nb_pad = blkshape[0]
     table1 = build_state_tables(code1_t)
     table2 = build_state_tables(code2_t) if code2_t is not None else None
     zero1 = int(np.abs(np.asarray(code1_t)).argmin())
@@ -469,23 +511,47 @@ def _optimizer_update_8bit_seg(
         flat = x.reshape(-1)
         if pad:
             flat = jnp.pad(flat, (0, pad), constant_values=fill)
-        return flat.reshape(NB, bs)
+        return flat.reshape(blkshape)
 
     def un2(x, dtype=None):
         out = x.reshape(-1)[:n].reshape(shape)
         return out.astype(dtype) if dtype is not None else out
+
+    def am_in(a):
+        """Input absmax (NB,) -> per-element broadcast for the layout."""
+        flat = a.reshape(-1)
+        if nb_pad != NB:
+            flat = jnp.pad(flat, (0, nb_pad - NB))
+        if tile4k:
+            b = jnp.repeat(flat.reshape(ntiles, 16), 2, axis=1)[:, :, None]
+            return b  # (ntiles, 32, 1), broadcasts against blkshape
+        return flat.reshape(nb_pad, 1)
+
+    def block_absmax(x):
+        """Per-block absmax of blocked values; returns (broadcastable,
+        compact (nb_pad,))."""
+        if tile4k:
+            am_s = jnp.max(jnp.abs(x), axis=-1)                  # (nt, 32)
+            am_b = jnp.max(am_s.reshape(ntiles, 16, 2), axis=-1)  # (nt, 16)
+            amb = jnp.repeat(am_b, 2, axis=1)[:, :, None]
+            return amb, am_b.reshape(-1)
+        am = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        return am, am.reshape(-1)
+
+    def am_out(compact):
+        return compact[:NB]
 
     g2 = to2(g).astype(jnp.float32) * gnorm_scale
     p2 = to2(p).astype(jnp.float32)
 
     if optimizer_name == "ademamix":
         c1 = (to2(state1[0], zero1), to2(state1[1], zero1))
-        a1 = (absmax1[0].reshape(NB, 1), absmax1[1].reshape(NB, 1))
+        a1 = (am_in(absmax1[0]), am_in(absmax1[1]))
     else:
         c1 = to2(state1, zero1)
-        a1 = absmax1.reshape(NB, 1)
+        a1 = am_in(absmax1)
     c2 = to2(state2, zero2) if state2 is not None else None
-    a2 = absmax2.reshape(NB, 1) if state2 is not None else None
+    a2 = am_in(absmax2) if state2 is not None else None
 
     def chain(g2, p2, c1, a1, c2, a2):
         """dequant -> fp32 update -> nonfinite guard: the elementwise
@@ -533,35 +599,45 @@ def _optimizer_update_8bit_seg(
     # is the single materializing pass.  (Reference one-pass analog:
     # csrc/kernels.cu:914-1147 reduces absmax in-block in shared memory.)
     if twopass:
-        bam = lambda x: jnp.max(jnp.abs(x), axis=-1, keepdims=True)  # noqa: E731
-        am1 = bam(new_s1)
-        am2 = bam(new_s2) if new_s2 is not None else None
+        pre1 = (
+            (block_absmax(new_s1[0]), block_absmax(new_s1[1]))
+            if optimizer_name == "ademamix"
+            else block_absmax(new_s1)
+        )
+        pre2 = block_absmax(new_s2) if new_s2 is not None else None
         gb, pb, c1b, a1b, c2b, a2b = jax.lax.optimization_barrier(
             (g2, p2, c1, a1, c2, a2)
         )
         _, new_s1, new_s2 = chain(gb, pb, c1b, a1b, c2b, a2b)
     else:
-        am1 = am2 = None
+        pre1 = pre2 = None
+
+    def requant(x, table, code_t, fix, pre):
+        """Requantize against the layout's per-block absmax; returns
+        (codes blocked, absmax (NB,))."""
+        amb, compact = pre if pre is not None else block_absmax(x)
+        q, _ = state_requant_blocks(x, table, code_t, fix, am=amb)
+        return q, am_out(compact)
 
     if optimizer_name == "ademamix":
-        q1_1, am1_1 = state_requant_blocks(
-            new_s1[0], table1, code1_t, fixup, am=None if am1 is None else am1[0]
+        q1_1, am1_1 = requant(
+            new_s1[0], table1, code1_t, fixup, None if pre1 is None else pre1[0]
         )
-        q1_2, am1_2 = state_requant_blocks(
-            new_s1[1], table1, code1_t, fixup, am=None if am1 is None else am1[1]
+        q1_2, am1_2 = requant(
+            new_s1[1], table1, code1_t, fixup, None if pre1 is None else pre1[1]
         )
         new_state1 = jnp.stack([un2(q1_1), un2(q1_2)])
-        new_absmax1 = jnp.stack([am1_1.reshape(-1), am1_2.reshape(-1)])
+        new_absmax1 = jnp.stack([am1_1, am1_2])
     else:
-        q1, am1_ = state_requant_blocks(new_s1, table1, code1_t, fixup, am=am1)
+        q1, am1_ = requant(new_s1, table1, code1_t, fixup, pre1)
         new_state1 = un2(q1)
-        new_absmax1 = am1_.reshape(-1)
+        new_absmax1 = am1_
     new_state2 = new_absmax2 = None
     if new_s2 is not None:
         # unsigned second-moment map: the CUDA kernel skips the fixup there
-        q2_, am2_ = state_requant_blocks(new_s2, table2, code2_t, False, am=am2)
+        q2_, am2_ = requant(new_s2, table2, code2_t, False, pre2)
         new_state2 = un2(q2_)
-        new_absmax2 = am2_.reshape(-1)
+        new_absmax2 = am2_
 
     return un2(new_p, p_dtype), new_state1, new_state2, new_absmax1, new_absmax2
 

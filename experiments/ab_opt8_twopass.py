@@ -32,12 +32,22 @@ from bitsandbytes_tpu.utils.benchmark import device_loop_time
 N = 64 * 1024 * 1024
 print("backend:", jax.default_backend(), flush=True)
 rng = np.random.default_rng(0)
-g = jnp.asarray(rng.standard_normal(N) * 0.01, jnp.float32)
-p = jnp.asarray(rng.standard_normal(N), jnp.float32)
-s1 = jnp.asarray(rng.integers(0, 256, N), jnp.uint8)
-s2 = jnp.asarray(rng.integers(0, 256, N), jnp.uint8)
-am1 = jnp.asarray(rng.random(N // 256) * 0.01 + 1e-5, jnp.float32)
-am2 = jnp.asarray(rng.random(N // 256) * 0.001 + 1e-6, jnp.float32)
+
+
+@jax.jit
+def _gen():  # on-device: a 640 MB host upload starves the timeout
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    return (
+        jax.random.normal(ks[0], (N,), jnp.float32) * 0.01,
+        jax.random.normal(ks[1], (N,), jnp.float32),
+        jax.random.randint(ks[2], (N,), 0, 256, jnp.int32).astype(jnp.uint8),
+        jax.random.randint(ks[3], (N,), 0, 256, jnp.int32).astype(jnp.uint8),
+        jax.random.uniform(ks[4], (N // 256,), jnp.float32) * 0.01 + 1e-5,
+        jax.random.uniform(ks[5], (N // 256,), jnp.float32) * 0.001 + 1e-6,
+    )
+
+
+g, p, s1, s2, am1, am2 = jax.block_until_ready(_gen())
 code1 = tuple(float(x) for x in np.asarray(create_dynamic_map(signed=True)))
 code2 = tuple(float(x) for x in np.asarray(create_dynamic_map(signed=False)))
 
@@ -46,18 +56,19 @@ sec = device_loop_time(lambda a: jnp.tanh(a @ a), (a,), iters=10)
 print(f"canary: {sec*1e6:.0f} us ({2*4096**3/sec/1e12:.0f} TFLOPs)", flush=True)
 
 
-def step8(twopass, g, p, s1, s2, am1, am2):
+def step8(twopass, layout, g, p, s1, s2, am1, am2):
     return OU._optimizer_update_8bit_seg(
         "adam", g, p, s1, s2, am1, am2,
         code1_t=code1, code2_t=code2, fixup=True, twopass=twopass,
+        layout=layout,
         beta1=0.9, beta2=0.999, eps=1e-8, step=10, lr=1e-3,
     )
 
 
-def timed8(twopass: bool):
+def timed8(twopass: bool, layout: str = "tile4k"):
     import functools
     return device_loop_time(
-        functools.partial(step8, twopass), (g, p, s1, s2, am1, am2), iters=10
+        functools.partial(step8, twopass, layout), (g, p, s1, s2, am1, am2), iters=10
     )
 
 
@@ -71,10 +82,11 @@ def step32(g, p, m, v):
     )
 
 
-res = {"onepass": [], "twopass": [], "32bit": []}
+res = {"onepass": [], "twopass": [], "2dlayout": [], "32bit": []}
 for cyc in range(3):
     res["onepass"].append(timed8(False))
     res["twopass"].append(timed8(True))
+    res["2dlayout"].append(timed8(False, "2d"))  # pre-round-5 (NB,256) form
     res["32bit"].append(device_loop_time(step32, (g, p, m, v), iters=10))
     print(
         f"cycle {cyc}: "
@@ -85,11 +97,18 @@ for cyc in range(3):
 meds = {k: float(np.median(v_)) for k, v_ in res.items()}
 print("medians: " + "  ".join(f"{k} {s*1e3:6.2f}ms" for k, s in meds.items()))
 print(f"onepass/32bit: {meds['onepass']/meds['32bit']:.3f}")
-print(f"twopass/32bit: {meds['twopass']/meds['32bit']:.3f}", flush=True)
+print(f"twopass/32bit: {meds['twopass']/meds['32bit']:.3f}")
+print(f"2dlayout/32bit: {meds['2dlayout']/meds['32bit']:.3f}", flush=True)
 
 # bit-identity on-device (distinct compiled variants by construction now)
-o1 = step8(False, g, p, s1, s2, am1, am2)
-o2 = step8(True, g, p, s1, s2, am1, am2)
+o1 = step8(False, "tile4k", g, p, s1, s2, am1, am2)
+o2 = step8(True, "tile4k", g, p, s1, s2, am1, am2)
+o3 = step8(False, "2d", g, p, s1, s2, am1, am2)
+for a_, b_, nm in zip(o1, o3, ("p", "s1", "s2", "am1", "am2")):
+    if a_ is None:
+        continue
+    neq = int(jnp.sum(a_ != b_))
+    print(f"  tile4k-vs-2d {nm}: mismatches {neq}/{a_.size}", flush=True)
 for a_, b_, nm in zip(o1, o2, ("p", "s1", "s2", "am1", "am2")):
     if a_ is None:
         continue

@@ -122,7 +122,8 @@ def main():
         if k in ("io", "dq", "upd", "req1"):
             prev = meds[k]
     io_bytes = N * (4 + 4 + 1 + 1 + 4 + 1 + 1 + 4) + NB * 4 * 4
-    print(f"  stream floor: {io_bytes/1e9:.2f} GB -> {io_bytes/1e9/meds['io']:.0f} GB/s achieved on io arm")
+    print(f"  stream floor: {io_bytes/1e9:.2f} GB -> "
+          f"{io_bytes/(meds['io']*1e-3)/1e9:.0f} GB/s achieved on io arm")
 
 
 if __name__ == "__main__":

@@ -525,3 +525,53 @@ def test_sign_preservation_fixup():
     qu_fix, _ = state_requant_blocks(jnp.asarray(xu), utable, None, True)
     qu_nofix, _ = state_requant_blocks(jnp.asarray(xu), utable, None, False)
     np.testing.assert_array_equal(np.asarray(qu_fix), np.asarray(qu_nofix))
+
+
+@pytest.mark.parametrize("name", ["adam", "lion", "ademamix"])
+@pytest.mark.parametrize("n", [256 * 16, 2048 + 100, 4096 * 3 + 17])
+def test_seg_tile4k_layout_bit_identical_to_2d(name, n):
+    """The tile4k internal layout (bitcast-true (n/4096, 32, 128) blocked
+    view — no physical relayout of any big operand, see PARITY.md Round-5
+    closures) must be BIT-identical to the historical (NB, 256) form on
+    every output: the elementwise values are unchanged and the per-block
+    max reduce is order-independent.  Covers whole-tile, sub-tile-padded,
+    and multi-tile-padded sizes."""
+    import numpy as np
+    from bitsandbytes_tpu.functional.codebooks import create_dynamic_map
+    from bitsandbytes_tpu.functional.blockwise import quantize_blockwise_with_code
+    from bitsandbytes_tpu.functional.optim_update import _optimizer_update_8bit_seg
+
+    qmap1 = jnp.asarray(create_dynamic_map(True))
+    qmap2 = jnp.asarray(create_dynamic_map(False))
+    code1 = tuple(float(x) for x in np.asarray(qmap1))
+    code2 = tuple(float(x) for x in np.asarray(qmap2))
+    p = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32) * 0.01
+    g = g.at[3].set(jnp.inf)  # nonfinite-skip path must match too
+    m = jax.random.normal(jax.random.PRNGKey(2), (n,)) * 0.01
+    v = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (n,))) * 1e-4
+    s1, am1 = quantize_blockwise_with_code(m, qmap1, 256)
+    s2, am2 = quantize_blockwise_with_code(v, qmap2, 256)
+    if name == "ademamix":
+        s1 = jnp.stack([s1, s1])
+        am1 = jnp.stack([am1, am1])
+        kw = dict(beta1=0.9, beta2=0.999, beta3=0.9999, alpha=5.0,
+                  eps=1e-8, step=4, lr=1e-3)
+    elif name == "lion":
+        s2 = am2 = None
+        kw = dict(beta1=0.9, beta2=0.99, eps=0.0, step=4, lr=1e-4)
+    else:
+        kw = dict(beta1=0.9, beta2=0.999, eps=1e-8, weight_decay=1e-2,
+                  step=4, lr=1e-3)
+    c2 = code2 if s2 is not None else None
+    outs = {}
+    for layout in ("2d", "tile4k"):
+        outs[layout] = _optimizer_update_8bit_seg(
+            name, g, p, s1, s2, am1, am2,
+            code1_t=code1, code2_t=c2, fixup=True, layout=layout, **kw,
+        )
+    for a, b, nm in zip(outs["2d"], outs["tile4k"], ("p", "s1", "s2", "am1", "am2")):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=nm)

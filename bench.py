@@ -184,6 +184,18 @@ def main():
         except Exception:
             pass
 
+    # Serving medians (device-phase primary + RTT-bound e2e secondary),
+    # measured by benchmarking/serving_benchmark.py into SERVING.json —
+    # folded in the same way as the full-model medians.
+    sv_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarking", "SERVING.json"
+    )
+    if os.path.exists(sv_path):
+        try:
+            detail["serving"] = json.load(open(sv_path))
+        except Exception:
+            pass
+
     print(
         json.dumps(
             {

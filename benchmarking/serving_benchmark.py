@@ -140,10 +140,16 @@ def main():
             from bitsandbytes_tpu.serving.engine import _decode_chunk
             leaves, treedef = jax.tree_util.tree_flatten(cache)
 
-            def step(toks, *leaves):
+            # params MUST ride through const_args (jit arguments), not
+            # closure capture — a closed-over quantized tree gets baked as
+            # multi-GB program constants and wedges the remote compile.
+            # pool stays a closed-over Python int: it is a STATIC argument
+            # of _decode_chunk (a tracer there breaks the jit-cache
+            # static-equality check).
+            def step(params, toks, *leaves):
                 c = jax.tree_util.tree_unflatten(treedef, leaves)
                 out, c2 = _decode_chunk(
-                    eng.params, c, toks, pos,
+                    params, c, toks, pos,
                     jnp.zeros((bs,), jnp.float32), jnp.ones((bs,), jnp.float32),
                     jax.random.PRNGKey(0),
                     cfg=cfg, S=eng.steps_per_sync, sampling=False,
@@ -152,9 +158,14 @@ def main():
                 return (out[-1],) + tuple(jax.tree_util.tree_leaves(c2))
 
             for _ in range(3):
-                dev_chunks.append(device_loop_time(step, (toks, *leaves), iters=5))
-        except Exception as e:
-            print("device-chunk timing failed:", str(e)[:160])
+                dev_chunks.append(device_loop_time(
+                    step, (toks, *leaves), iters=5, const_args=(eng.params,),
+                ))
+        except Exception:
+            import traceback
+
+            print("device-chunk timing failed:")
+            print(traceback.format_exc()[-2000:])
 
     result = {
         "mode": mode,

@@ -117,7 +117,9 @@ def _flash_step(
             precision=jax.lax.Precision.DEFAULT,
         )  # [GT, SB]
         if int8_kv:
-            sc = sc * ks_row[None, :]
+            # ks_row is [SB] (dense/cached path) or pre-broadcast [GT, SB]
+            # (fused paged path — Mosaic can't lane-concat 1-D f32 rows)
+            sc = sc * (ks_row if ks_row.ndim == 2 else ks_row[None, :])
         sc = sc * scale
         mask = kv_pos <= q_pos
         if window is not None:
@@ -133,7 +135,7 @@ def _flash_step(
         l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
 
         if int8_kv:
-            p = p * vs_row[None, :]
+            p = p * (vs_row if vs_row.ndim == 2 else vs_row[None, :])
         v = v_ref[0, 0]
         if int8_kv:
             v = v.astype(jnp.bfloat16)
@@ -302,39 +304,71 @@ def _paged_kernel(
     tbl_ref,  # scalar-prefetch [B, MAXB] int32 block table
     len_ref,  # scalar-prefetch [B] int32 newest-query positions
     q_ref,  # [1, 1, GT, hd]
-    k_ref,  # [1, 1, BS, hd] — the j-th live block of (b, h)
-    v_ref,
-    *rest,
+    *rest,  # F k blocks, F v blocks, [F ks, F vs], o_ref, 3 scratches
     T: int,
     BS: int,
+    F: int,
     window,
     scale: float,
     int8_kv: bool,
 ):
+    k_refs, v_refs = rest[:F], rest[F : 2 * F]
+    idx = 2 * F
     if int8_kv:
-        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
-    else:
-        o_ref, m_scr, l_scr, acc_scr = rest
-        ks_ref = vs_ref = None
+        ks_refs, vs_refs = rest[idx : idx + F], rest[idx + F : idx + 2 * F]
+        idx += 2 * F
+    o_ref, m_scr, l_scr, acc_scr = rest[idx : idx + 4]
     b, h, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    # the j-th LOGICAL block; k_ref/v_ref/scale blocks were fetched from the
-    # physical block the BlockSpec index_map resolved via the table
+    length = len_ref[b]
+    # F consecutive LOGICAL blocks per grid step (their physical pool
+    # blocks were fetched by F table-walking BlockSpecs), processed as
+    # ONE [F*BS]-wide online-softmax step: at BS=128/F=1 the kernel ran
+    # 2.25-2.47x the dense cached kernel and the cost tracks the
+    # per-block m/l scratch recurrence, not the DMA count — a BS=512
+    # pool hits 1.04x (experiments/probe_paged_gap.py).  Concatenating
+    # the F fetched tiles in VMEM amortizes the recurrence to one
+    # update per F blocks.  Logical blocks are consecutive, so the
+    # fused tile's kv positions are contiguous from j*F*BS; dead
+    # sub-blocks (beyond a slot's live length, incl. the MAXB rounding)
+    # fetched clamped duplicates and are exactly masked by the
+    # kv_pos <= q_pos mask inside _flash_step.
+    if F == 1:
+        kc, vc = k_refs[0], v_refs[0]
+        ksc = ks_refs[0][0, h] if int8_kv else None
+        vsc = vs_refs[0][0, h] if int8_kv else None
+    else:
+        # sublane concat of the K/V tiles (cast int8 -> bf16 first: exact,
+        # and Mosaic concatenates bf16 vregs where packed int8 is dicier);
+        # the f32 scale rows must concat as 2-D [GT, BS] vreg tiles along
+        # lanes — Mosaic rejects 1-D f32 lane concatenation
+        # (vector<128xf32> x F -> vector<F*128xf32>).
+        GT = q_ref.shape[2]
+        cast = (lambda a: a.astype(jnp.bfloat16)) if int8_kv else (lambda a: a)
+        kc = jnp.concatenate([cast(r[0, 0]) for r in k_refs], axis=0)[None, None]
+        vc = jnp.concatenate([cast(r[0, 0]) for r in v_refs], axis=0)[None, None]
+        row2d = lambda r: jnp.broadcast_to(r[0, h][None, :], (GT, BS))  # noqa: E731
+        ksc = (
+            jnp.concatenate([row2d(r) for r in ks_refs], axis=1) if int8_kv else None
+        )
+        vsc = (
+            jnp.concatenate([row2d(r) for r in vs_refs], axis=1) if int8_kv else None
+        )
     _flash_step(
         j,
         pl.num_programs(2),
-        j * BS,
-        len_ref[b],
+        j * F * BS,
+        length,
         q_ref,
-        k_ref,
-        v_ref,
-        ks_ref[0, h] if int8_kv else None,
-        vs_ref[0, h] if int8_kv else None,
+        kc,
+        vc,
+        ksc,
+        vsc,
         o_ref,
         m_scr,
         l_scr,
         acc_scr,
         T=T,
-        SB=BS,
+        SB=F * BS,
         window=window,
         scale=scale,
         int8_kv=int8_kv,
@@ -350,37 +384,54 @@ def _flash_paged_jit(q, pool_k, pool_v, ks, vs, tables, lengths, *, T, window, i
     if GT < GT_pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, GT_pad - GT), (0, 0)))
 
+    # fetch factor: F logical blocks per grid step.  Small pool blocks
+    # (128 tokens = 16 KB int8) make per-grid-step overhead dominate —
+    # measured 2.25x the dense cached kernel at BS=128/F=1 vs 1.04x at
+    # BS=512 (experiments/probe_paged_gap.py) — so batch enough blocks
+    # per step to put ~512 kv positions in flight.  Dead logical blocks
+    # (jj beyond a slot's live length, incl. the MAXB->MAXB_pad rounding)
+    # clamp to the last live block: unchanged index -> no DMA re-fetch,
+    # and the body's alive-gate skips their compute.
+    F = max(1, min(512 // BS, MAXB))
+    n_grid = -(-MAXB // F)
+
     kernel = functools.partial(
-        _paged_kernel, T=T, BS=BS, window=window, scale=hd**-0.5, int8_kv=int8_kv
+        _paged_kernel, T=T, BS=BS, F=F,
+        window=window, scale=hd**-0.5, int8_kv=int8_kv,
     )
 
-    def kblk(b, h, j, tbl, lens):
+    def kblk(b, h, j, tbl, lens, f=0):
         # clamp dead steps to the slot's last live block: the block index
         # doesn't change, so the pipeline skips the DMA re-fetch
-        jl = jnp.minimum(j, jnp.maximum(lens[b], 0) // BS)
+        jl = jnp.minimum(j * F + f, jnp.maximum(lens[b], 0) // BS)
         return (tbl[b, jl], h, 0, 0)
 
-    def sblk(b, h, j, tbl, lens):
-        jl = jnp.minimum(j, jnp.maximum(lens[b], 0) // BS)
+    def sblk(b, h, j, tbl, lens, f=0):
+        jl = jnp.minimum(j * F + f, jnp.maximum(lens[b], 0) // BS)
         return (tbl[b, jl], 0, 0)
 
+    kspecs = [
+        pl.BlockSpec((1, 1, BS, hd), functools.partial(kblk, f=f), memory_space=pltpu.VMEM)
+        for f in range(F)
+    ]
     in_specs = [
         pl.BlockSpec((1, 1, GT_pad, hd), lambda b, h, j, tbl, lens: (b, h, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, BS, hd), kblk, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, BS, hd), kblk, memory_space=pltpu.VMEM),
+        *kspecs,
+        *kspecs,
     ]
-    args = [q, pool_k, pool_v]
+    args = [q] + [pool_k] * F + [pool_v] * F
     if int8_kv:
-        in_specs += [
-            pl.BlockSpec((1, KVH, BS), sblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KVH, BS), sblk, memory_space=pltpu.VMEM),
+        sspecs = [
+            pl.BlockSpec((1, KVH, BS), functools.partial(sblk, f=f), memory_space=pltpu.VMEM)
+            for f in range(F)
         ]
-        args += [ks, vs]
+        in_specs += [*sspecs, *sspecs]
+        args += [ks] * F + [vs] * F
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, KVH, MAXB),
+            grid=(B, KVH, n_grid),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, GT_pad, hd), lambda b, h, j, tbl, lens: (b, h, 0, 0),

@@ -222,3 +222,49 @@ def test_flash_tp_wrappers_match_single_device(int8):
     np.testing.assert_allclose(
         np.asarray(ref_p, np.float32), np.asarray(ref_c, np.float32), rtol=0.05, atol=0.05
     )
+
+
+@pytest.mark.parametrize("int8", [False, True], ids=["bf16kv", "int8kv"])
+@pytest.mark.parametrize("BS", [64, 128], ids=["bs64", "bs128"])
+def test_flash_paged_matches_dense_single_device(int8, BS):
+    """Paged kernel vs the dense oracle on ONE device (the TP variant of
+    this check needs an 8-device mesh and skips on the real chip) —
+    exercises the F-block fused fetch (F = min(512//BS, MAXB) > 1 at these
+    block sizes): table-walking BlockSpecs, the VMEM tile concat, and the
+    2-D scale-row path in _flash_step."""
+    from bitsandbytes_tpu.ops.pallas.flash_cached import (
+        flash_attention_paged,
+        flash_paged_supported,
+    )
+
+    assert flash_paged_supported(BS, HD, G)
+    q, k, v, ksc, vsc = _mk(jax.random.PRNGKey(11), int8)
+    lengths = jnp.asarray([5, S - 1], jnp.int32)
+
+    # scatter the contiguous cache into a shuffled block pool
+    MAXB = S // BS
+    NB = B * MAXB + 3  # a few spare blocks so tables aren't the identity
+    perm = np.random.default_rng(1).permutation(NB)[: B * MAXB]
+    tables = jnp.asarray(perm.reshape(B, MAXB), jnp.int32)
+    pk = jnp.zeros((NB, KVH, BS, HD), k.dtype)
+    pv = jnp.zeros((NB, KVH, BS, HD), v.dtype)
+    pks = jnp.zeros((NB, KVH, BS), jnp.float32) if int8 else None
+    pvs = jnp.zeros((NB, KVH, BS), jnp.float32) if int8 else None
+    for b in range(B):
+        for j in range(MAXB):
+            blk = int(tables[b, j])
+            sl = slice(j * BS, (j + 1) * BS)
+            pk = pk.at[blk].set(k[b, :, sl])
+            pv = pv.at[blk].set(v[b, :, sl])
+            if int8:
+                pks = pks.at[blk].set(ksc[b, :, sl])
+                pvs = pvs.at[blk].set(vsc[b, :, sl])
+
+    out = flash_attention_paged(q, pk, pv, tables, lengths, T=1, k_scale=pks, v_scale=pvs)
+    if int8:
+        kf = np.asarray(k, np.float32) * np.asarray(ksc)[..., None]
+        vf = np.asarray(v, np.float32) * np.asarray(vsc)[..., None]
+    else:
+        kf, vf = np.asarray(k, np.float32), np.asarray(v, np.float32)
+    ref = dense_ref(np.asarray(q, np.float32), kf, vf, np.asarray(lengths), T=1)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, atol=0.02, rtol=0.02)

@@ -170,31 +170,27 @@ def main():
         "backend": jax.default_backend(),
     }
 
-    # Full 32-layer model medians (nf4/int8/nf4-dq at bs=1/8/32, n>=3
-    # interleaved passes + canary): measured by
-    # benchmarking/full_model_medians.py — a ~15-minute on-chip run that
-    # does not fit this script's driver budget — and folded in from its
-    # FULLMODEL.json artifact with its measurement timestamp as provenance.
+    # Fold in slow-run artifacts measured by their own on-chip scripts
+    # (they do not fit this script's driver budget; each records its own
+    # timestamp/provenance):
+    #   full_model — benchmarking/full_model_medians.py (32-layer
+    #     nf4/int8/nf4-dq medians at bs=1/8/32, n>=3 passes + canary)
+    #   serving — benchmarking/serving_benchmark.py (device-phase chunk
+    #     primary + RTT-bound e2e secondary, dense and paged)
     import os
 
-    fm_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "FULLMODEL.json")
-    if os.path.exists(fm_path):
-        try:
-            detail["full_model"] = json.load(open(fm_path))
-        except Exception:
-            pass
+    here = os.path.dirname(os.path.abspath(__file__))
 
-    # Serving medians (device-phase primary + RTT-bound e2e secondary),
-    # measured by benchmarking/serving_benchmark.py into SERVING.json —
-    # folded in the same way as the full-model medians.
-    sv_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarking", "SERVING.json"
-    )
-    if os.path.exists(sv_path):
-        try:
-            detail["serving"] = json.load(open(sv_path))
-        except Exception:
-            pass
+    def fold(key, *relpath):
+        path = os.path.join(here, *relpath)
+        if os.path.exists(path):
+            try:
+                detail[key] = json.load(open(path))
+            except Exception:
+                pass
+
+    fold("full_model", "FULLMODEL.json")
+    fold("serving", "benchmarking", "SERVING.json")
 
     print(
         json.dumps(

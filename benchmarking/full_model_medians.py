@@ -122,7 +122,14 @@ def main():
     for fmt in fmts:
         print(f"== {fmt} ==", flush=True)
         rows, canary = measure(fmt, cfg)
-        results[fmt] = {"tok_s": rows, "canary": canary}
+        results[fmt] = {
+            "tok_s": rows,
+            "canary": canary,
+            # provenance: replicated-weight builds time identically (decode
+            # throughput is value-independent) but the artifact must say
+            # which build produced the published medians
+            "build": "fast-replicate" if "--fast-build" in sys.argv else "per-layer",
+        }
         out["meta"] = {
             "model": "llama3-8b 32-layer",
             "batches": list(BATCHES),

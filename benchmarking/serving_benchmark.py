@@ -102,7 +102,7 @@ def main():
     # end-to-end windows (RTT-bound secondary metric): median of 3, each
     # bracketed by a canary
     total_tokens = n_req * new_tok
-    raws, steps_per_window = [], None
+    raws, walls, steps_per_window = [], [], []
     cans = [c0]
     for w in range(3):
         t0 = time.time()
@@ -115,7 +115,8 @@ def main():
             steps += 1
         wall = time.time() - t0
         raws.append(total_tokens / wall)
-        steps_per_window = steps
+        walls.append(wall)
+        steps_per_window.append(steps)
         cans.append(canary_tflops())
         print(f"window {w}: raw {raws[-1]:.1f} tok/s ({steps} steps); "
               f"canary {cans[-1]:.0f} TFLOPs", flush=True)
@@ -187,7 +188,11 @@ def main():
             "n": len(dev_chunks),
         }
         result["device_tok_s"] = round(bs * eng.steps_per_sync / dmed, 1)
-        per_step_wall = (total_tokens / raw_med) / steps_per_window
+        # per-window wall/steps pairs, then the median — step counts can
+        # differ across windows (admission timing under pool load), so
+        # dividing the median wall by the LAST window's steps would mix
+        # quantities from different windows
+        per_step_wall = float(np.median([w / s for w, s in zip(walls, steps_per_window)]))
         result["host_rtt_overhead_ms_per_step"] = round(
             per_step_wall * 1e3 - dmed * 1e3, 1
         )

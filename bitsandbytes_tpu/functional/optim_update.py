@@ -95,10 +95,13 @@ def state_requant_blocks(x2d, table, code_np, fixup: bool, am=None):
     """
     if am is None:
         # reduce every trailing axis: one block per leading index,
-        # shape-agnostic so both the [NB, 256] and [NB, 2, 128] forms work
-        am = jnp.max(
-            jnp.abs(x2d), axis=tuple(range(1, x2d.ndim)), keepdims=True
-        )
+        # shape-agnostic so both the [NB, 256] and [NB, 2, 128] forms work.
+        # A flat (N,) input means ONE block (the pre-round-5 axis=-1
+        # semantics) — without the guard the empty axis tuple would reduce
+        # nothing and quantize each element against its own absmax (every
+        # code collapses to +/-1.0).
+        axes = tuple(range(1, x2d.ndim)) if x2d.ndim > 1 else (0,)
+        am = jnp.max(jnp.abs(x2d), axis=axes, keepdims=True)
     scale = 1.0 / jnp.clip(am, _ABSMAX_EPS, None)
     scaled = jnp.clip(x2d * scale, -1.0, 1.0)
     if isinstance(table, SymSegmentTable):
@@ -406,12 +409,17 @@ def optimizer_update_8bit_blockwise(
                 absmax1, absmax2, apply_sign_fixup=apply_sign_fixup, **kwargs,
             )
     if concrete:
-        # Read the env var HERE (un-jitted caller) and thread it through as
-        # a static argument: reading it at trace time inside the jitted fn
-        # makes flag flips after the first trace silent no-ops (the pjit
-        # cache is keyed only on avals/statics).  Default OFF pending a
-        # valid on-chip A/B (the round-4 one was invalidated by exactly
-        # this cache collapse — both arms timed the one-pass graph).
+        # Read the env var in THIS (concrete-path) caller and thread it
+        # through as a static argument: reading it at trace time inside
+        # the jitted fn makes flag flips after the first trace silent
+        # no-ops (the pjit cache is keyed only on avals/statics).  NOTE:
+        # when this caller is itself traced inside a user's jitted train
+        # step, the read still happens once at THAT outer trace — flipping
+        # the flag then requires retracing the outer jit too (new fn or
+        # cleared cache); only eager/per-call uses pick up flips
+        # automatically.  Default OFF pending a valid on-chip A/B (the
+        # round-4 one was invalidated by exactly this cache collapse —
+        # both arms timed the one-pass graph).
         twopass = os.environ.get("BNB_OPT8_TWOPASS", "0") == "1"
         # Internal block layout: "tile4k" processes flat arrays through the
         # BITCAST-TRUE blocked view (n/4096, 32, 128) — flat f32 carries
@@ -424,6 +432,11 @@ def optimizer_update_8bit_blockwise(
         # at the jit boundary (+2.6 ms on 64M Adam — profile_opt8_xla.py /
         # probe_opt8_layout.py; PARITY.md Round-5 closures).
         layout = os.environ.get("BNB_OPT8_LAYOUT", "tile4k")
+        if layout not in ("tile4k", "2d"):
+            raise ValueError(
+                f"BNB_OPT8_LAYOUT={layout!r}: expected 'tile4k' or '2d' "
+                "(a typo would silently select a layout you didn't ask for)"
+            )
         return _optimizer_update_8bit_seg(
             optimizer_name, g, p, state1, state2, absmax1, absmax2,
             code1_t=code1_t, code2_t=code2_t, fixup=apply_sign_fixup,

@@ -919,7 +919,10 @@ def lm_loss(
     logits (`jax.checkpoint`), trading one extra lm_head matmul for the
     logits' storage — the standard TPU memory/FLOPs trade for long-context
     training.  Loss is identical to the dense path up to f32 summation
-    order."""
+    order — except under ``int8_threshold`` on an int8 lm_head, where the
+    outlier column set is detected per chunk (reference MatMul8bitLt
+    per-matmul semantics), so equality is semantic (~1e-5 relative), not
+    bitwise."""
     if token_chunk is None:
         logits, _ = forward(
             params, ids[:, :-1], cfg, lora=lora, int8_threshold=int8_threshold
@@ -955,7 +958,12 @@ def lm_loss(
     @jax.checkpoint
     def body(total, xt):
         hc, tc = xt
-        logits = _apply_linear(hc, lm_head).astype(jnp.float32)  # [C, V]
+        # threshold must follow the dense path (forward passes it too):
+        # dropping it here silently disabled LLM.int8() outlier
+        # decomposition on an int8 lm_head under token_chunk
+        logits = _apply_linear(hc, lm_head, threshold=int8_threshold).astype(
+            jnp.float32
+        )  # [C, V]
         lse = jax.nn.logsumexp(logits, axis=-1)
         tl = jnp.take_along_axis(
             logits, jnp.maximum(tc, 0)[:, None], axis=-1

@@ -66,15 +66,30 @@ def _np_safe(a) -> np.ndarray:
     return a
 
 
+# ml_dtypes names safetensors can serialize natively from numpy (verified
+# on the installed safetensors 0.8.0: bf16 round-trip).  Other ml_dtypes
+# (float8_e4m3fnuz/_b11fnuz, int4, ...) have no container support and must
+# widen — but the "keep storage dtypes" path warns, because the round-trip
+# then returns a different dtype than was saved.
+_SAFETENSORS_ML_DTYPES = ("bfloat16", "float8_e4m3fn", "float8_e5m2")
+
+
 def _np_keep_ml_dtypes(a) -> np.ndarray:
     """numpy array preserving bf16/fp8 storage dtypes, but still widening
-    true void dtypes (structured / opaque), which no tensor container can
-    serialize.  Used by ``widen_ml_dtypes=False`` — the narrow path must
-    keep the void guard or saves crash on exotic leaves."""
+    true void dtypes (structured / opaque / unsupported ml_dtypes), which
+    the tensor container cannot serialize.  Used by
+    ``widen_ml_dtypes=False`` — the narrow path must keep the void guard
+    or saves crash on exotic leaves."""
     a = np.asarray(a)
-    if a.dtype.kind == "V" and a.dtype.name not in (
-        "bfloat16", "float8_e4m3fn", "float8_e5m2"
-    ):
+    if a.dtype.kind == "V" and a.dtype.name not in _SAFETENSORS_ML_DTYPES:
+        import warnings
+
+        warnings.warn(
+            f"widen_ml_dtypes=False cannot keep dtype {a.dtype.name!r} "
+            "(no safetensors support): widening to float32 — the reload "
+            "will NOT restore the original storage dtype",
+            stacklevel=3,
+        )
         return a.astype(np.float32)
     return a
 

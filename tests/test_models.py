@@ -279,6 +279,33 @@ def test_chunked_lm_loss_matches_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
+def test_chunked_lm_loss_int8_threshold_matches_dense():
+    """The chunked path must apply int8_threshold on the lm_head exactly
+    like the dense path (it silently dropped it before round 5): with an
+    int8 lm_head and outliers that trip the threshold, chunked == dense,
+    and the threshold must actually change the loss (guards against the
+    passthrough becoming a no-op)."""
+    cfg = L.LlamaConfig.tiny()
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    # plant outlier columns in the lm_head so threshold=2.0 decomposes
+    params["lm_head"] = params["lm_head"].at[:, :3].mul(50.0)
+    q8 = L.quantize_params_int8(params, quantize_lm_head=True)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 11), 0, cfg.vocab_size)
+
+    dense_thr = L.lm_loss(q8, None, ids, cfg, int8_threshold=2.0)
+    chunk_thr = L.lm_loss(q8, None, ids, cfg, token_chunk=7, int8_threshold=2.0)
+    # not bit-identical: the outlier column set is detected per activation
+    # chunk (reference MatMul8bitLt semantics — per-matmul detection), so
+    # chunked quantization error differs at the ~1e-5 relative level
+    np.testing.assert_allclose(float(chunk_thr), float(dense_thr), rtol=2e-4)
+    # threshold-off differs at a much larger scale: proves the flag
+    # reaches the chunked lm_head rather than being silently dropped
+    chunk_off = L.lm_loss(q8, None, ids, cfg, token_chunk=7)
+    assert abs(float(chunk_off) - float(dense_thr)) > 10 * abs(
+        float(chunk_thr) - float(dense_thr)
+    )
+
+
 def test_llama3_70b_config_geometry():
     """BASELINE 70B rows: config dims are consistent and kernel-tileable
     (K % 256 == 0, N even for the paired layout, hd % 128 == 0 for flash)."""

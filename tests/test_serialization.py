@@ -180,7 +180,9 @@ def test_orbax_sharded_roundtrip_resharded(tmp_path):
     absmax) saved from a 2x4 mesh, restored under a DIFFERENT 4x2 mesh, must
     be bit-exact on every leaf and continue training bit-identically to a
     plain device_put reshard of the in-memory state."""
-    import orbax.checkpoint as ocp
+    ocp = pytest.importorskip(
+        "orbax.checkpoint", reason="orbax-checkpoint not installed"
+    )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from bitsandbytes_tpu import optim, parallel as par

@@ -22,10 +22,17 @@ from .blockwise import (
 )
 from .fourbit import (
     dequantize_4bit,
+    dequantize_fp4,
+    dequantize_nf4,
     pack_4bit,
     quantize_4bit,
+    quantize_fp4,
+    quantize_nf4,
     unpack_4bit,
 )
+
+# reference name for the codebook lookup (functional.py get_4bit_type)
+get_4bit_type = get_4bit_code
 from .int8 import (
     int8_double_quant,
     int8_linear_matmul,

@@ -417,3 +417,30 @@ def dequantize_4bit(
             )
     code = jnp.asarray(get_4bit_code(quant_type, blocksize))
     return _dequantize_4bit_impl(A.reshape(-1), absmax, code, blocksize, shape, dtype)
+
+
+# -- reference-named conveniences (functional.py:714-766: quantize_fp4 /
+# quantize_nf4 / dequantize_fp4 / dequantize_nf4 are thin partials of the
+# 4-bit core) so reference users find the exact names they already call --
+
+
+def quantize_nf4(A, blocksize: int = 64, **kwargs):
+    """``quantize_4bit(..., quant_type='nf4')`` under the reference's name."""
+    return quantize_4bit(A, blocksize=blocksize, quant_type="nf4", **kwargs)
+
+
+def quantize_fp4(A, blocksize: int = 64, **kwargs):
+    """``quantize_4bit(..., quant_type='fp4')`` under the reference's name."""
+    return quantize_4bit(A, blocksize=blocksize, quant_type="fp4", **kwargs)
+
+
+def dequantize_nf4(A, quant_state=None, **kwargs):
+    """``dequantize_4bit(..., quant_type='nf4')`` under the reference's name."""
+    kwargs.setdefault("quant_type", "nf4")
+    return dequantize_4bit(A, quant_state, **kwargs)
+
+
+def dequantize_fp4(A, quant_state=None, **kwargs):
+    """``dequantize_4bit(..., quant_type='fp4')`` under the reference's name."""
+    kwargs.setdefault("quant_type", "fp4")
+    return dequantize_4bit(A, quant_state, **kwargs)

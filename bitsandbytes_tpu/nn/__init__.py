@@ -21,7 +21,16 @@ from .parametrize import (
     mask_quantized,
 )
 
+# reference tensor-subclass names (nn/modules.py Params4bit:217-501 /
+# Int8Params:719-809): the pytree carriers are their JAX analogs — same
+# role (packed payload + quant metadata flowing through the framework),
+# published under the names porting users grep for
+Params4bit = QuantizedTensor
+Int8Params = Int8TensorState
+
 __all__ = [
+    "Params4bit",
+    "Int8Params",
     "Linear4bit",
     "LinearFP4",
     "LinearNF4",

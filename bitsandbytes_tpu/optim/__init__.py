@@ -20,8 +20,22 @@ from .overrides import (
     make_optimizer_with_overrides,
     path_labels,
 )
+from .compat import (
+    GlobalOptimManager,
+    MockArgs,
+    Optimizer1State,
+    Optimizer2State,
+    Optimizer8bit,
+    PytorchLARS,
+)
 
 __all__ = [
+    "GlobalOptimManager",
+    "MockArgs",
+    "Optimizer1State",
+    "Optimizer2State",
+    "Optimizer8bit",
+    "PytorchLARS",
     "make_optimizer",
     "BnbOptimizerState",
     "paged_state_sharding",

@@ -68,3 +68,33 @@ def test_params4bit_int8params_aliases():
     assert nn.Int8Params is nn.Int8TensorState
     qt = nn.Params4bit.quantize(jnp.ones((64, 64), jnp.float32))
     assert isinstance(qt, nn.QuantizedTensor)
+
+
+def test_optim_layer_compat_names():
+    """GlobalOptimManager path-regex overrides + the Optimizer1/2State/8bit
+    entry points (reference optim/optimizer.py) delegate to the optax
+    factories and actually optimize."""
+    import optax
+
+    import bitsandbytes_tpu.optim as O
+
+    mgr = O.GlobalOptimManager.get_instance()
+    mgr.initialize()
+    mgr.override_config(r"embed", "optim_bits", 32)
+    opt = mgr.build("adam", 1e-2, optim_bits=8)
+    assert isinstance(opt, optax.GradientTransformation)
+
+    params = {"embed": jnp.ones((4, 8)), "w": jnp.ones((128, 128))}
+    state = opt.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, _ = opt.update(g, state, params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(upd))
+
+    # the reference's SGD passes family "momentum" to Optimizer1State
+    for f, fam in ((O.Optimizer1State, "momentum"), (O.Optimizer2State, "adam")):
+        t = f(fam, 1e-3, optim_bits=32)
+        assert isinstance(t, optax.GradientTransformation)
+    assert isinstance(O.Optimizer8bit("adam"), optax.GradientTransformation)
+    assert isinstance(O.PytorchLARS(), optax.GradientTransformation)
+    args = O.MockArgs({"optim_bits": 8})
+    assert args.optim_bits == 8

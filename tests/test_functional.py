@@ -528,10 +528,43 @@ def test_stochastic_pallas_kernel_bit_identical_to_oracle():
         )
     finally:
         dispatch.set_backend(old)
-    np.testing.assert_array_equal(np.asarray(q_ref), np.asarray(q_pal))
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
     np.testing.assert_array_equal(np.asarray(st_ref.absmax), np.asarray(st_pal.absmax))
-    np.testing.assert_array_equal(np.asarray(p4_ref), np.asarray(p4_pal))
-    np.testing.assert_array_equal(np.asarray(f4_ref), np.asarray(f4_pal))
+    if not on_tpu:
+        # interpret tier consumes the SUPPLIED uniforms -> bit-identical
+        np.testing.assert_array_equal(np.asarray(q_ref), np.asarray(q_pal))
+        np.testing.assert_array_equal(np.asarray(p4_ref), np.asarray(p4_pal))
+        np.testing.assert_array_equal(np.asarray(f4_ref), np.asarray(f4_pal))
+    else:
+        # real Mosaic draws on-core pltpu.prng_random_bits (a different
+        # stream than the supplied key), so bit-identity cannot hold; the
+        # SR contract is that every code is one of the two RANK-adjacent
+        # codes of the oracle's draw (same bracketing pair around the
+        # value).  Blockwise-8 codes are ranks directly.
+        d8 = np.abs(
+            np.asarray(q_pal, np.int16) - np.asarray(q_ref, np.int16)
+        )
+        assert d8.max() <= 1, d8.max()
+        # 4-bit payloads are pair-packed (and fp4 is rank->bit-pattern
+        # mapped), so compare in DEQUANTIZED space: both tiers' outputs
+        # must bracket within one adjacent-code step of each other
+        from bitsandbytes_tpu.functional.codebooks import get_4bit_code
+
+        for ref_p, pal_p, qt in ((p4_ref, p4_pal, "nf4"), (f4_ref, f4_pal, "fp4")):
+            code = np.sort(np.asarray(get_4bit_code(qt, 64), np.float64))
+            max_gap = np.diff(code).max()
+            _, st = quantize_4bit(W, blocksize=64, quant_type=qt, layout="2d")
+            am = np.repeat(
+                np.abs(np.asarray(W, np.float64)).reshape(-1, 64).max(axis=1), 64
+            )
+            from bitsandbytes_tpu.functional.fourbit import dequantize_4bit
+
+            dr = np.asarray(dequantize_4bit(ref_p, st), np.float64).reshape(-1)
+            dp = np.asarray(dequantize_4bit(pal_p, st), np.float64).reshape(-1)
+            # each tier's draw lands within ONE adjacent-code gap of the
+            # true value, so two independent draws are at most TWO gaps
+            # apart (bracket-boundary ties pick different pairs)
+            assert (np.abs(dr - dp) <= 2 * max_gap * am + 1e-12).all()
     # and the stochastic draw actually moved a healthy fraction of codes
     q_det, _ = quantize_blockwise(x, blocksize=256)
     moved = (np.asarray(q_pal) != np.asarray(q_det)).mean()

@@ -264,10 +264,15 @@ def test_chunked_lm_loss_matches_dense():
     lora = L.add_lora(jax.random.PRNGKey(1), cfg, rank=4)
     ids = jax.random.randint(jax.random.PRNGKey(2), (2, 11), 0, cfg.vocab_size)
 
+    # on the real chip f32 dots truncate to bf16 (excess-precision flag),
+    # so the dense-vs-chunked split changes accumulation at the bf16 error
+    # class; CPU (highest precision) is the bit-level contract
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    rtol, gtol = (1e-2, 1e-2) if on_tpu else (2e-6, 2e-6)
     dense = L.lm_loss(qparams, lora, ids, cfg)
     for chunk in (4, 7, 32):  # 20 tokens: even split, ragged, single chunk
         chunked = L.lm_loss(qparams, lora, ids, cfg, token_chunk=chunk)
-        np.testing.assert_allclose(float(chunked), float(dense), rtol=2e-6)
+        np.testing.assert_allclose(float(chunked), float(dense), rtol=rtol)
 
     g_dense = jax.grad(lambda lo: L.lm_loss(qparams, lo, ids, cfg))(lora)
     g_chunk = jax.grad(
@@ -276,7 +281,7 @@ def test_chunked_lm_loss_matches_dense():
     for a, b in zip(
         jax.tree_util.tree_leaves(g_dense), jax.tree_util.tree_leaves(g_chunk)
     ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=gtol)
 
 
 def test_chunked_lm_loss_int8_threshold_matches_dense():
@@ -296,8 +301,12 @@ def test_chunked_lm_loss_int8_threshold_matches_dense():
     chunk_thr = L.lm_loss(q8, None, ids, cfg, token_chunk=7, int8_threshold=2.0)
     # not bit-identical: the outlier column set is detected per activation
     # chunk (reference MatMul8bitLt semantics — per-matmul detection), so
-    # chunked quantization error differs at the ~1e-5 relative level
-    np.testing.assert_allclose(float(chunk_thr), float(dense_thr), rtol=2e-4)
+    # chunked quantization error differs at the ~1e-5 relative level (and
+    # on the real chip f32 dots truncate to bf16, widening it further)
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    np.testing.assert_allclose(
+        float(chunk_thr), float(dense_thr), rtol=1e-2 if on_tpu else 2e-4
+    )
     # threshold-off differs at a much larger scale: proves the flag
     # reaches the chunked lm_head rather than being silently dropped
     chunk_off = L.lm_loss(q8, None, ids, cfg, token_chunk=7)

@@ -177,6 +177,8 @@ def main():
     #     nf4/int8/nf4-dq medians at bs=1/8/32, n>=3 passes + canary)
     #   serving — benchmarking/serving_benchmark.py (device-phase chunk
     #     primary + RTT-bound e2e secondary, dense and paged)
+    #   train — benchmarking/train_benchmark.py (QLoRA NF4+AdamW8bit
+    #     step medians)
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -191,6 +193,7 @@ def main():
 
     fold("full_model", "FULLMODEL.json")
     fold("serving", "benchmarking", "SERVING.json")
+    fold("train", "benchmarking", "TRAIN.json")
 
     print(
         json.dumps(
